@@ -1,15 +1,14 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-The real TPU chip is reserved for benchmarking; unit tests must be
-hermetic and exercise the multi-device sharding paths, so we force the
-CPU platform with 8 virtual devices before JAX initializes.
+The real TPU chip is reserved for benchmarking; unit tests must be hermetic
+and exercise the multi-device sharding paths.  NOTE: the axon PJRT plugin
+overrides the JAX_PLATFORMS env var at import (it sets "axon,cpu"), so
+forcing CPU must go through jax.config.update, not the environment.
 """
 
-import os
+import jax
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
