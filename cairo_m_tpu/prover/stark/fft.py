@@ -1,0 +1,139 @@
+"""Circle FFT / iFFT over M31 — the prover's core transform.
+
+Operates on evaluations stored in **FFT order** (see `domain.py`): level j
+butterflies pair contiguous half-blocks (i, i + len/2), so every level is a
+reshape + elementwise op — no gathers, fully fusable by XLA, and the leading
+axes batch arbitrarily many columns.
+
+Coefficients come out in the circle-FFT basis
+``b_j = y^{j0} * x^{j1} * pi(x)^{j2} * ... , pi(x) = 2x^2 - 1`` with the
+y-bit as the index MSB and deeper pi-powers toward the LSB.  That indexing
+makes degree embedding trivial: a size-2^L coefficient vector embeds into a
+size-2^L' one at indices ``i << (L' - L)`` (zero elsewhere), which is how
+`lde` performs the low-degree extension.
+
+Equivalent of stwo's `core::poly::circle::{CirclePoly, CircleEvaluation,
+PolyOps}` + `core::backend::simd::fft` (SURVEY.md §2.9), re-designed for
+TPU: trailing-axis layout, uint32 limb math from `field.m31`.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+from ...field import m31
+from ...field.qm31 import qadd, qmul, qmul_m31
+from . import domain
+
+P = (1 << 31) - 1
+
+
+@lru_cache(maxsize=None)
+def _twiddles_dev(log_size: int, inverse: bool):
+    levels, inv_levels = domain.fft_twiddles(log_size)
+    src = inv_levels if inverse else levels
+    return [jnp.asarray(t) for t in src]
+
+
+def ifft(values, log_size: int):
+    """Evaluations (..., 2^log_size) in FFT order -> coefficients.
+
+    The 1/2 butterfly normalizations are batched into one final 2^-L scale.
+    """
+    v = values
+    n = 1 << log_size
+    assert v.shape[-1] == n
+    itw = _twiddles_dev(log_size, inverse=True)
+    lead = v.shape[:-1]
+    for j in range(log_size):
+        half = n >> (j + 1)
+        v = v.reshape(lead + (1 << j, 2, half))
+        a = v[..., 0, :]
+        b = v[..., 1, :]
+        f0 = m31.add(a, b)
+        f1 = m31.mul(m31.sub(a, b), itw[j])
+        v = jnp.stack([f0, f1], axis=-2)
+    v = v.reshape(lead + (n,))
+    scale = pow((P + 1) // 2, log_size, P)  # 2^-log_size
+    return m31.mul(v, jnp.uint32(scale))
+
+
+def fft(coeffs, log_size: int):
+    """Coefficients -> evaluations (..., 2^log_size) in FFT order."""
+    v = coeffs
+    n = 1 << log_size
+    assert v.shape[-1] == n
+    tw = _twiddles_dev(log_size, inverse=False)
+    lead = v.shape[:-1]
+    for j in range(log_size - 1, -1, -1):
+        half = n >> (j + 1)
+        v = v.reshape(lead + (1 << j, 2, half))
+        a = v[..., 0, :]
+        b = m31.mul(v[..., 1, :], tw[j])
+        v = jnp.stack([m31.add(a, b), m31.sub(a, b)], axis=-2)
+    return v.reshape(lead + (n,))
+
+
+def lde(values_fft_order, log_size: int, eval_log_size: int):
+    """Low-degree extension: evaluations on the size-2^log_size canonic
+    domain -> evaluations on the size-2^eval_log_size one (both FFT order)."""
+    coeffs = ifft(values_fft_order, log_size)
+    return fft(embed_coeffs(coeffs, log_size, eval_log_size), eval_log_size)
+
+
+def embed_coeffs(coeffs, log_size: int, eval_log_size: int):
+    """Embed a coefficient vector into the bigger basis (index << gap)."""
+    gap = eval_log_size - log_size
+    assert gap >= 0
+    if gap == 0:
+        return coeffs
+    lead = coeffs.shape[:-1]
+    n = 1 << log_size
+    big = jnp.zeros(lead + (n, 1 << gap), dtype=coeffs.dtype)
+    big = big.at[..., 0].set(coeffs)
+    return big.reshape(lead + (1 << eval_log_size,))
+
+
+# ---------------------------------------------------------------------------
+# Point evaluation (OODS) — coefficients x QM31 circle point
+# ---------------------------------------------------------------------------
+
+
+def point_eval_twiddles(qpoint, log_size: int):
+    """QM31 twiddle scalars [t_0 .. t_{L-1}] for evaluating a size-2^L
+    coefficient vector at a QM31 circle point: t_0 = y, t_1 = x,
+    t_j = pi^(j-1)(x)."""
+    x, y = qpoint
+    tws = [y]
+    cur = x
+    for _ in range(log_size - 1):
+        tws.append(cur)
+        # pi(x) = 2x^2 - 1
+        two = qadd(cur, cur)
+        sq = qmul(two, cur)
+        one = tuple(
+            jnp.full_like(sq[0], 1 if k == 0 else 0) for k in range(4)
+        )
+        cur = tuple(m31.sub(sq[k], one[k]) for k in range(4))
+    return tws
+
+
+def eval_at_qpoint(coeffs, log_size: int, qpoint):
+    """Evaluate an M31 coefficient vector (..., 2^L) at a QM31 point.
+
+    Folds from the innermost level outward: v <- v[..., 0::2] + t_j*v[..., 1::2]
+    reshaped as contiguous pairs.  Returns a QM31 limb tuple of shape (...,).
+    """
+    tws = point_eval_twiddles(qpoint, log_size)
+    lead = coeffs.shape[:-1]
+    # lift to QM31 limbs
+    v = (coeffs,) + tuple(jnp.zeros_like(coeffs) for _ in range(3))
+    for j in range(log_size - 1, -1, -1):
+        half = v[0].shape[-1] // 2
+        a = tuple(c.reshape(lead + (half, 2))[..., 0] for c in v)
+        b = tuple(c.reshape(lead + (half, 2))[..., 1] for c in v)
+        v = qadd(a, qmul(b, tws[j]))
+    return tuple(c[..., 0] for c in v)
