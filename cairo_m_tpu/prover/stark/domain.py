@@ -182,6 +182,71 @@ def vanishing_on_domain(trace_log_size: int, eval_log_size: int):
 
 
 # ---------------------------------------------------------------------------
+# Commit order: bit-reversed FFT order
+# ---------------------------------------------------------------------------
+# FRI folding pairs (i, i + len/2) of the FFT order become *adjacent* leaf
+# pairs (2q, 2q+1) under bit reversal, at every folding level; a query then
+# opens both pair elements as Merkle siblings sharing their whole path.
+
+
+@lru_cache(maxsize=None)
+def bitrev_indices(log_size: int) -> np.ndarray:
+    n = 1 << log_size
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros(n, dtype=np.uint32)
+    for b in range(log_size):
+        rev |= ((idx >> b) & 1) << (log_size - 1 - b)
+    return rev
+
+
+def bit_reverse(v, log_size: int):
+    """Permute the leading axis by bit reversal (involution)."""
+    import jax.numpy as jnp
+
+    rev = bitrev_indices(log_size)
+    if isinstance(v, np.ndarray):
+        return v[rev]
+    return jnp.take(v, jnp.asarray(rev), axis=0)
+
+
+def to_commit_order(rows, log_size: int):
+    """Trace rows (natural row order) -> commit order (bitrev of FFT order)."""
+    return bit_reverse(to_fft_order(rows), log_size)
+
+
+def commit_pos_to_row(pos: int, log_size: int) -> int:
+    """Commit-order position -> trace row index (host, per-query)."""
+    n, m = 1 << log_size, 1 << (log_size - 1)
+    f = int(bitrev_indices(log_size)[pos])
+    if f < m:
+        return 2 * f
+    return n - 1 - 2 * (f - m)
+
+
+def commit_pos_point(pos: int, log_size: int):
+    """Circle point (M31 pair) at a commit-order position."""
+    row = commit_pos_to_row(pos, log_size)
+    return point_at_index((2 * row + 1) * subgroup_gen_index(log_size + 1))
+
+
+@lru_cache(maxsize=None)
+def fri_twiddles_bitrev(log_size: int):
+    """Inverse twiddles for FRI folding on commit-order arrays.
+
+    Returns [t_0, t_1, ...]: t_0 = 1/y over H bit-reversed (circle->line
+    fold), t_j (j>=1) = 1/x over the level-j line domain bit-reversed.
+    Folding at level j pairs positions (2q, 2q+1) with twiddle index q.
+    """
+    _, inv_levels = fft_twiddles(log_size)
+    out = []
+    for j, lv in enumerate(inv_levels):
+        lg = log_size - 1 - j
+        assert lv.shape[0] == 1 << lg
+        out.append(bit_reverse(lv, lg))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # QM31 (secure-field) points — for OODS
 # ---------------------------------------------------------------------------
 

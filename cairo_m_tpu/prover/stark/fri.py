@@ -1,0 +1,352 @@
+"""FRI low-degree test over circle/line domains (blowup 2, fold step 1).
+
+Equivalent of stwo's `core::fri` with the reference configuration
+(`FriConfig { log_last_layer_degree_bound: 0, log_blowup_factor: 1,
+n_queries: 80 }`, reference `prover_config.rs:13-20`).  All columns are QM31
+limb-tuples in **commit order** (bit-reversed FFT order), so folds are
+adjacent-pair butterflies; see `domain.fri_twiddles_bitrev`.
+
+Protocol (documented; prover and verifier in this module):
+
+1. ``alpha_0 = draw``; running layer (log k = max_log - 1) =
+   ``fold_circle(combine(largest cols, alpha_0^2), alpha_0)``.
+2. While k > log_last_layer_size: commit the layer's 4 limb columns in one
+   Merkle tree, ``mix_root``; ``alpha = draw``;
+   ``layer = fold_line(layer, alpha)``; k -= 1; then for input circle
+   columns of size k+1: ``layer = layer*alpha^2 + fold_circle(combine(cols,
+   alpha^2), alpha)``.
+3. Send the last layer's evaluations; ``mix_felts``.
+
+Folds (y/x = inverse twiddles at the pair):
+  circle->line: g[q] = (a+b)/2 + alpha*(a-b)/(2 y_q)
+  line->line:   g[q] = (a+b)/2 + alpha*(a-b)/(2 x_q)
+
+Query p (position in the 2^max_log domain) opens pairs
+``((p >> (max_log - l)) & ~1, | 1)`` in every committed structure of log
+size l; the verifier re-folds layer by layer and checks each opened layer
+value and finally the sent last layer, whose interpolation must respect the
+degree bound.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from ...field import m31
+from ...field.qm31 import qadd, qmul, qmul_m31, qmul_np
+from . import domain, merkle
+
+P = (1 << 31) - 1
+INV2 = (P + 1) // 2
+
+
+@dataclass
+class FriConfig:
+    log_blowup_factor: int = 1
+    log_last_layer_degree_bound: int = 0
+    n_queries: int = 80
+
+    @property
+    def log_last_layer_size(self) -> int:
+        return self.log_last_layer_degree_bound + self.log_blowup_factor
+
+
+# ---------------------------------------------------------------------------
+# scalar QM31 helpers (host, Python-int tuples)
+# ---------------------------------------------------------------------------
+
+
+def qscalar_mul(a, b):
+    r = qmul_np(
+        tuple(np.array([x], np.uint32) for x in a),
+        tuple(np.array([x], np.uint32) for x in b),
+    )
+    return tuple(int(x[0]) for x in r)
+
+
+def qscalar_add(a, b):
+    return tuple((x + y) % P for x, y in zip(a, b))
+
+
+def qscalar_sub(a, b):
+    return tuple((x - y) % P for x, y in zip(a, b))
+
+
+def qscalar_mul_m31(a, s):
+    return tuple((x * s) % P for x in a)
+
+
+QONE = (1, 0, 0, 0)
+QZERO = (0, 0, 0, 0)
+
+
+def _combine(cols, weight):
+    """sum_j weight^(m-1-j) * cols[j], pointwise (device)."""
+    acc = cols[0]
+    w = tuple(jnp.uint32(int(x)) for x in weight)
+    for c in cols[1:]:
+        acc = qadd(qmul(acc, w), c)
+    return acc
+
+
+def _fold_pairs_dev(col, inv_twiddle, alpha):
+    a = tuple(c[0::2] for c in col)
+    b = tuple(c[1::2] for c in col)
+    f0 = qmul_m31(qadd(a, b), jnp.uint32(INV2))
+    diff = tuple(m31.sub(x, y) for x, y in zip(a, b))
+    f1 = qmul_m31(qmul_m31(diff, inv_twiddle), jnp.uint32(INV2))
+    adev = tuple(jnp.uint32(int(x)) for x in alpha)
+    return qadd(f0, qmul(f1, adev))
+
+
+def _fold_pair_host(v0, v1, inv_tw, alpha):
+    """Host fold of one pair: ((v0+v1)/2 + alpha*(v0-v1)*inv_tw/2)."""
+    f0 = qscalar_mul_m31(qscalar_add(v0, v1), INV2)
+    f1 = qscalar_mul_m31(qscalar_mul_m31(qscalar_sub(v0, v1), inv_tw), INV2)
+    return qscalar_add(f0, qscalar_mul(f1, alpha))
+
+
+def pair_positions(queries, max_log: int, l: int):
+    """Opened pair positions in a size-2^l structure for top-level queries."""
+    return sorted({q for p in queries for q in ((p >> (max_log - l)) & ~1, (p >> (max_log - l)) | 1)})
+
+
+# ---------------------------------------------------------------------------
+# Prover
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FriLayerProof:
+    root: bytes
+    decommitment: merkle.MerkleDecommitment
+
+    def to_json_obj(self):
+        return {"root": self.root.hex(), "dec": self.decommitment.to_json_obj()}
+
+    @staticmethod
+    def from_json_obj(o):
+        return FriLayerProof(
+            bytes.fromhex(o["root"]), merkle.MerkleDecommitment.from_json_obj(o["dec"])
+        )
+
+
+@dataclass
+class FriProof:
+    inner_roots: list  # committed line-layer roots, outermost first
+    inner_decommitments: list  # MerkleDecommitment per inner layer (query phase)
+    last_layer: list  # QM31 evals (4-tuples of ints), commit order
+
+    def to_json_obj(self):
+        return {
+            "inner_roots": [r.hex() for r in self.inner_roots],
+            "inner_decommitments": [d.to_json_obj() for d in self.inner_decommitments],
+            "last_layer": [[int(x) for x in q] for q in self.last_layer],
+        }
+
+    @staticmethod
+    def from_json_obj(o):
+        return FriProof(
+            [bytes.fromhex(r) for r in o["inner_roots"]],
+            [merkle.MerkleDecommitment.from_json_obj(d) for d in o["inner_decommitments"]],
+            [tuple(q) for q in o["last_layer"]],
+        )
+
+
+class FriProver:
+    def __init__(self, channel, columns, config: FriConfig):
+        """columns: list of (circle_log_size, qm31 limb-tuple, commit order),
+        any order; sorted internally descending."""
+        self.config = config
+        by_log: dict[int, list] = {}
+        for l, c in columns:
+            by_log.setdefault(int(l), []).append(c)
+        self.column_order = sorted(by_log, reverse=True)
+        self.max_log = self.column_order[0]
+        last = config.log_last_layer_size
+        assert last < self.max_log
+
+        self.inner_trees = []  # list of (log_k, MerkleTree)
+        alpha0 = channel.draw_felt()
+        a0sq = qscalar_mul(alpha0, alpha0)
+        y_inv = jnp.asarray(domain.fri_twiddles_bitrev(self.max_log)[0])
+        layer = _fold_pairs_dev(_combine(by_log[self.max_log], a0sq), y_inv, alpha0)
+        k = self.max_log - 1
+        while k > last:
+            tree = merkle.commit(list(layer))
+            self.inner_trees.append((k, tree))
+            channel.mix_root(tree.root())
+            alpha = channel.draw_felt()
+            x_inv = jnp.asarray(
+                domain.fri_twiddles_bitrev(self.max_log)[self.max_log - k]
+            )
+            layer = _fold_pairs_dev(layer, x_inv, alpha)
+            k -= 1
+            if by_log.get(k + 1):
+                asq = qscalar_mul(alpha, alpha)
+                y_inv_k = jnp.asarray(domain.fri_twiddles_bitrev(k + 1)[0])
+                folded_in = _fold_pairs_dev(
+                    _combine(by_log[k + 1], asq), y_inv_k, alpha
+                )
+                adev = tuple(jnp.uint32(int(x)) for x in asq)
+                layer = qadd(qmul(layer, adev), folded_in)
+
+        host = [np.asarray(c) for c in layer]
+        self.last_layer = [
+            tuple(int(host[j][i]) for j in range(4)) for i in range(host[0].shape[0])
+        ]
+        channel.mix_felts(self.last_layer)
+
+    def decommit(self, queries) -> FriProof:
+        roots = []
+        decs = []
+        for log_k, tree in self.inner_trees:
+            pairs = pair_positions(queries, self.max_log, log_k)
+            roots.append(tree.root())
+            decs.append(merkle.decommit(tree, pairs))
+        return FriProof(roots, decs, self.last_layer)
+
+
+# ---------------------------------------------------------------------------
+# Verifier
+# ---------------------------------------------------------------------------
+
+
+class FriVerifier:
+    def __init__(self, channel, config: FriConfig, column_logs, proof: FriProof):
+        """column_logs: log sizes of the input columns (same multiset as the
+        prover's).  Replays the channel, recording folding alphas."""
+        self.config = config
+        self.column_logs = sorted(set(int(l) for l in column_logs), reverse=True)
+        self.counts = {
+            l: sum(1 for x in column_logs if x == l) for l in self.column_logs
+        }
+        self.max_log = self.column_logs[0]
+        self.proof = proof
+        last = config.log_last_layer_size
+        self.alpha0 = channel.draw_felt()
+        self.layer_alphas = []
+        expected_layers = self.max_log - 1 - last
+        if len(proof.inner_roots) != expected_layers:
+            raise ValueError("FRI: wrong number of inner layers")
+        for root in proof.inner_roots:
+            channel.mix_root(root)
+            self.layer_alphas.append(channel.draw_felt())
+        if len(proof.last_layer) != 1 << last:
+            raise ValueError("FRI: wrong last layer size")
+        channel.mix_felts(proof.last_layer)
+
+    def check_last_layer_degree(self) -> bool:
+        """Interpolate the sent last layer and check the degree bound."""
+        cfg = self.config
+        s = cfg.log_last_layer_size
+        # host line-ifft on commit order (adjacent pairs per level)
+        vals = [tuple(int(x) for x in q) for q in self.proof.last_layer]
+        # un-bitrev to fft order
+        rev = domain.bitrev_indices(s)
+        vals = [vals[rev[i]] for i in range(1 << s)]
+        inv_levels = domain.fft_twiddles(self.max_log)[1]
+        for j in range(s):
+            # level twiddles: size 2^(s-1-j) -> index (max_log - s + j + ...)
+            lvl = inv_levels[self.max_log - s + j]
+            half = len(vals) // 2
+            assert len(lvl) == half
+            out0, out1 = [], []
+            for i in range(half):
+                a, b = vals[i], vals[i + half]
+                out0.append(qscalar_mul_m31(qscalar_add(a, b), INV2))
+                out1.append(
+                    qscalar_mul_m31(
+                        qscalar_mul_m31(qscalar_sub(a, b), int(lvl[i])), INV2
+                    )
+                )
+            vals = out0 + out1
+        bound = cfg.log_last_layer_degree_bound
+        for i, c in enumerate(vals):
+            if i % (1 << (s - bound)) != 0 and c != QZERO:
+                return False
+        return True
+
+    def verify_queries(self, queries, column_values) -> bool:
+        """column_values: dict log_size -> list over columns of that size of
+        {position: qm31 tuple} — the FRI input column values at
+        ``pair_positions`` (computed by the PCS verifier from openings).
+
+        Checks fold consistency through all layers for every query.
+        """
+        if not self.check_last_layer_degree():
+            return False
+        cfg = self.config
+        last = cfg.log_last_layer_size
+
+        # verify inner layer decommitments first
+        layer_values = []  # per inner layer: {pos: qm31}
+        for (root, dec, idx) in zip(
+            self.proof.inner_roots, self.proof.inner_decommitments, range(len(self.proof.inner_roots))
+        ):
+            log_k = self.max_log - 1 - idx
+            pairs = pair_positions(queries, self.max_log, log_k)
+            if not merkle.verify_decommitment(root, log_k, 4, pairs, dec):
+                return False
+            vals = {}
+            for p in pairs:
+                vals[p] = tuple(dec.values[j][p] for j in range(4))
+            layer_values.append(vals)
+
+        def col_combined(l, pos):
+            cols = column_values.get(l, [])
+            if len(cols) != self.counts.get(l, 0):
+                raise ValueError("FRI: wrong column count")
+            acc = None
+            w = self._alpha_for_size(l)
+            wsq = qscalar_mul(w, w)
+            for cv in cols:
+                v = cv[pos]
+                acc = v if acc is None else qscalar_add(qscalar_mul(acc, wsq), v)
+            return acc
+
+        for p in queries:
+            # first circle fold
+            pr = (p >> 0) & ~1
+            y_inv = int(domain.fri_twiddles_bitrev(self.max_log)[0][pr >> 1])
+            v0 = col_combined(self.max_log, pr)
+            v1 = col_combined(self.max_log, pr | 1)
+            cur = _fold_pair_host(v0, v1, y_inv, self.alpha0)
+            k = self.max_log - 1
+            li = 0
+            while k > last:
+                q = p >> (self.max_log - k)
+                vals = layer_values[li]
+                if vals[q] != cur:
+                    return False
+                a, b = vals[q & ~1], vals[q | 1]
+                alpha = self.layer_alphas[li]
+                x_inv = int(
+                    domain.fri_twiddles_bitrev(self.max_log)[self.max_log - k][q >> 1]
+                )
+                cur = _fold_pair_host(a, b, x_inv, alpha)
+                k -= 1
+                li += 1
+                if self.counts.get(k + 1) and k + 1 < self.max_log:
+                    qq = (p >> (self.max_log - k - 1)) & ~1
+                    y_inv_k = int(domain.fri_twiddles_bitrev(k + 1)[0][qq >> 1])
+                    w0 = col_combined(k + 1, qq)
+                    w1 = col_combined(k + 1, qq | 1)
+                    folded_in = _fold_pair_host(w0, w1, y_inv_k, alpha)
+                    asq = qscalar_mul(alpha, alpha)
+                    cur = qscalar_add(qscalar_mul(cur, asq), folded_in)
+            # check against last layer
+            q_last = p >> (self.max_log - last)
+            if tuple(self.proof.last_layer[q_last]) != cur:
+                return False
+        return True
+
+    def _alpha_for_size(self, l):
+        if l == self.max_log:
+            return self.alpha0
+        # the alpha of the line fold that produced log size l-1
+        # fold-in of size l happens after inner layer index (max_log - 1 - l)
+        return self.layer_alphas[self.max_log - 1 - l]
