@@ -1,0 +1,309 @@
+"""Polynomial commitment scheme: commit phases -> OODS sampling -> DEEP
+quotients -> FRI -> PoW -> query decommitment.
+
+Role of stwo's `CommitmentSchemeProver/Verifier` + `core::prover::{prove,
+verify}` glue (SURVEY.md §2.9, §2.6 step 9).  A *phase* is one logical
+commitment (preprocessed / trace / interaction / composition) holding many
+M31 columns; per phase one Merkle tree per log_size, roots mixed
+largest-first.  Transcript order within `prove_values`:
+
+1. mix all sampled values (canonical (phase, column, point) order);
+2. ``random_coeff = draw`` (quotient alpha);
+3. FRI commit on the quotient columns (mixes layer roots, draws alphas);
+4. PoW: ``nonce = grind(pow_bits)``; ``mix_u64(nonce)``;
+5. ``queries = draw_queries(n_queries, max_log)``;
+6. decommit every phase tree and FRI layer at the query pair positions.
+
+The verifier replays the same transcript and checks Merkle openings, FRI
+folds, the last-layer degree, and the PoW.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import domain, fft, fri, merkle, quotients
+
+P = (1 << 31) - 1
+
+
+@dataclass
+class PcsConfig:
+    pow_bits: int = 16
+    fri_config: fri.FriConfig = field(default_factory=fri.FriConfig)
+
+    def mix_into(self, channel):
+        channel.mix_u64(self.pow_bits)
+        channel.mix_u64(self.fri_config.log_blowup_factor)
+        channel.mix_u64(self.fri_config.log_last_layer_degree_bound)
+        channel.mix_u64(self.fri_config.n_queries)
+
+    def security_bits(self) -> int:
+        return (
+            self.pow_bits
+            + self.fri_config.log_blowup_factor * self.fri_config.n_queries
+        )
+
+
+# REGULAR_96_BITS (reference prover_config.rs:13-20)
+REGULAR_96_BITS = PcsConfig(
+    pow_bits=16,
+    fri_config=fri.FriConfig(
+        log_blowup_factor=1, log_last_layer_degree_bound=0, n_queries=80
+    ),
+)
+
+
+class CommitmentPhase:
+    """One committed phase: columns in fft order + per-size Merkle trees."""
+
+    def __init__(self, columns_fft, log_blowup: int):
+        """columns_fft: list of (trace_log_size, fft-order M31 evals).
+
+        Each column is LDE'd by the blowup and committed on the extended
+        domain.  The *commit log size* of a column = trace_log + blowup.
+        """
+        self.trace_logs = [int(l) for l, _ in columns_fft]
+        self.commit_logs = [l + log_blowup for l in self.trace_logs]
+        self.coeffs = []  # per column: coefficient array (device)
+        commit_cols = []
+        for (l, col), cl in zip(columns_fft, self.commit_logs):
+            coeffs = fft.ifft(col, l)
+            self.coeffs.append(coeffs)
+            ext = fft.fft(fft.embed_coeffs(coeffs, l, cl), cl)
+            commit_cols.append(domain.bit_reverse(ext, cl))
+        self.commit_cols = commit_cols
+        # one tree per commit log size, descending
+        self.trees = {}
+        for cl in sorted(set(self.commit_logs), reverse=True):
+            group = [c for c, l in zip(commit_cols, self.commit_logs) if l == cl]
+            self.trees[cl] = merkle.commit(group)
+
+    def roots(self):
+        return [(cl, self.trees[cl].root()) for cl in sorted(self.trees, reverse=True)]
+
+    def mix_roots(self, channel):
+        for _, r in self.roots():
+            channel.mix_root(r)
+
+    def sample(self, points_per_column):
+        """Evaluate each column at its sample points (device).
+        points_per_column: list (per column) of lists of QM31 circle points
+        (host scalar tuples).  Returns nested values [col][point]."""
+        out = []
+        for coeffs, l, pts in zip(self.coeffs, self.trace_logs, points_per_column):
+            vals = []
+            for z in pts:
+                zx = tuple(jnp.uint32(int(x)) for x in z[0])
+                zy = tuple(jnp.uint32(int(x)) for x in z[1])
+                v = fft.eval_at_qpoint(coeffs, l, (zx, zy))
+                vals.append(tuple(int(np.asarray(x)) for x in v))
+            out.append(vals)
+        return out
+
+
+@dataclass
+class PcsProof:
+    phase_roots: list  # per phase: [(commit_log, root_bytes)]
+    sampled_values: list  # per phase: [col][point] qm31 tuple
+    decommitments: list  # per phase: {commit_log: MerkleDecommitment}
+    fri_proof: fri.FriProof
+    pow_nonce: int
+
+    def to_json_obj(self):
+        return {
+            "phase_roots": [
+                [[l, r.hex()] for l, r in phase] for phase in self.phase_roots
+            ],
+            "sampled_values": [
+                [[list(v) for v in col] for col in phase]
+                for phase in self.sampled_values
+            ],
+            "decommitments": [
+                {str(l): d.to_json_obj() for l, d in phase.items()}
+                for phase in self.decommitments
+            ],
+            "fri_proof": self.fri_proof.to_json_obj(),
+            "pow_nonce": self.pow_nonce,
+        }
+
+    @staticmethod
+    def from_json_obj(o):
+        return PcsProof(
+            [[(l, bytes.fromhex(r)) for l, r in phase] for phase in o["phase_roots"]],
+            [
+                [[tuple(v) for v in col] for col in phase]
+                for phase in o["sampled_values"]
+            ],
+            [
+                {int(l): merkle.MerkleDecommitment.from_json_obj(d) for l, d in phase.items()}
+                for phase in o["decommitments"]
+            ],
+            fri.FriProof.from_json_obj(o["fri_proof"]),
+            o["pow_nonce"],
+        )
+
+
+class CommitmentSchemeProver:
+    def __init__(self, channel, config: PcsConfig = REGULAR_96_BITS):
+        self.channel = channel
+        self.config = config
+        self.phases: list[CommitmentPhase] = []
+
+    def commit(self, columns_fft):
+        """Commit a phase; mixes its roots into the channel."""
+        phase = CommitmentPhase(columns_fft, self.config.fri_config.log_blowup_factor)
+        phase.mix_roots(self.channel)
+        self.phases.append(phase)
+        return len(self.phases) - 1
+
+    def prove_values(self, sample_points) -> PcsProof:
+        """sample_points: per phase, per column, list of QM31 circle points."""
+        channel = self.channel
+        # 1. sample + mix
+        sampled = [
+            phase.sample(pts) for phase, pts in zip(self.phases, sample_points)
+        ]
+        flat = [
+            v
+            for phase_vals in sampled
+            for col in phase_vals
+            for v in col
+        ]
+        channel.mix_felts(flat)
+        # 2. quotient alpha
+        random_coeff = channel.draw_felt()
+        # enumerate (phase, column, point) -> alpha^k
+        samples = []
+        apow = (1, 0, 0, 0)
+        for phase, pts, vals in zip(self.phases, sample_points, sampled):
+            for col_idx, (zs, vs) in enumerate(zip(pts, vals)):
+                cl = phase.commit_logs[col_idx]
+                col_dev = phase.commit_cols[col_idx]
+                for z, v in zip(zs, vs):
+                    samples.append((cl, col_dev, z, v, apow))
+                    apow = fri.qscalar_mul(apow, random_coeff)
+        grouped = quotients.group_samples(samples)
+        quotient_cols = [
+            (l, quotients.quotient_column_device(l, batches))
+            for l, batches in sorted(grouped.items(), reverse=True)
+        ]
+        # 3. FRI commit
+        fri_prover = fri.FriProver(channel, quotient_cols, self.config.fri_config)
+        # 4. PoW
+        nonce = channel.grind(self.config.pow_bits)
+        channel.mix_u64(nonce)
+        # 5. queries
+        max_log = fri_prover.max_log
+        queries = channel.draw_queries(self.config.fri_config.n_queries, max_log)
+        # 6. decommit
+        decommitments = []
+        for phase in self.phases:
+            d = {}
+            for cl, tree in phase.trees.items():
+                pairs = fri.pair_positions(queries, max_log, cl)
+                d[cl] = merkle.decommit(tree, pairs)
+            decommitments.append(d)
+        fri_proof = fri_prover.decommit(queries)
+        return PcsProof(
+            [p.roots() for p in self.phases],
+            sampled,
+            decommitments,
+            fri_proof,
+            nonce,
+        )
+
+
+class CommitmentSchemeVerifier:
+    def __init__(self, channel, config: PcsConfig = REGULAR_96_BITS):
+        self.channel = channel
+        self.config = config
+        self.phase_roots = []  # [(commit_log, root)] per phase
+        self.phase_column_logs = []  # per phase: list of commit logs per column
+
+    def commit(self, roots, column_trace_logs):
+        """Replay a phase commitment: mix roots; record column structure."""
+        blow = self.config.fri_config.log_blowup_factor
+        commit_logs = [l + blow for l in column_trace_logs]
+        expected = sorted(set(commit_logs), reverse=True)
+        if [l for l, _ in roots] != expected:
+            raise ValueError("PCS: phase roots don't match column sizes")
+        for _, r in roots:
+            self.channel.mix_root(r)
+        self.phase_roots.append(list(roots))
+        self.phase_column_logs.append(commit_logs)
+
+    def verify_values(self, sample_points, proof: PcsProof) -> bool:
+        channel = self.channel
+        sampled = proof.sampled_values
+        if len(sampled) != len(self.phase_column_logs):
+            return False
+        flat = [v for phase_vals in sampled for col in phase_vals for v in col]
+        channel.mix_felts(flat)
+        random_coeff = channel.draw_felt()
+        # build sample records with opened-value handles filled in later
+        samples = []
+        apow = (1, 0, 0, 0)
+        for phase_idx, (logs, pts, vals) in enumerate(
+            zip(self.phase_column_logs, sample_points, sampled)
+        ):
+            if len(pts) != len(logs) or len(vals) != len(logs):
+                return False
+            for col_idx, (cl, zs, vs) in enumerate(zip(logs, pts, vals)):
+                if len(zs) != len(vs):
+                    return False
+                for z, v in zip(zs, vs):
+                    samples.append((cl, (phase_idx, col_idx), z, tuple(v), apow))
+                    apow = fri.qscalar_mul(apow, random_coeff)
+        grouped = quotients.group_samples(samples)
+        column_logs_flat = sorted(grouped, reverse=True)
+        fri_verifier = fri.FriVerifier(
+            channel, self.config.fri_config, list(grouped.keys()), proof.fri_proof
+        )
+        # PoW
+        if not channel.verify_pow(proof.pow_nonce, self.config.pow_bits):
+            return False
+        channel.mix_u64(proof.pow_nonce)
+        max_log = max(grouped)
+        queries = channel.draw_queries(self.config.fri_config.n_queries, max_log)
+        # verify phase decommitments, collect opened values per (phase, col)
+        opened = {}  # (phase_idx, col_idx) -> {pos: value}
+        for phase_idx, (logs, roots, decs) in enumerate(
+            zip(self.phase_column_logs, self.phase_roots, proof.decommitments)
+        ):
+            roots_d = dict(roots)
+            for cl in sorted(set(logs), reverse=True):
+                cols_here = [i for i, l in enumerate(logs) if l == cl]
+                pairs = fri.pair_positions(queries, max_log, cl)
+                dec = decs.get(cl)
+                if dec is None:
+                    return False
+                if not merkle.verify_decommitment(
+                    roots_d[cl], cl, len(cols_here), pairs, dec
+                ):
+                    return False
+                for j, col_idx in enumerate(cols_here):
+                    opened[(phase_idx, col_idx)] = dec.values[j]
+        # compute quotient values at pair positions per log size
+        col_values = {}
+        for l, batches in grouped.items():
+            pairs = fri.pair_positions(queries, max_log, l)
+            resolved = []
+            for b in batches:
+                rb = quotients.ColumnSampleBatch(b.z)
+                for handle, v, ap in b.entries:
+                    vals = opened.get(handle)
+                    if vals is None:
+                        return False
+                    rb.entries.append((vals, v, ap))
+                resolved.append(rb)
+            col_values[l] = [
+                {
+                    pos: quotients.quotient_value_host(l, resolved, pos)
+                    for pos in pairs
+                }
+            ]
+        return fri_verifier.verify_queries(queries, col_values)
