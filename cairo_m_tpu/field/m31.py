@@ -203,6 +203,24 @@ def batch_inv(a, axis=None):
     return inv(a)
 
 
+def sum_mod(a, axis=0):
+    """Modular sum along an axis via pairwise tree reduction (uint32-safe)."""
+    import jax.numpy as jnp
+
+    n = a.shape[axis]
+    while n > 1:
+        half = n // 2
+        a0 = jnp.take(a, jnp.arange(0, 2 * half, 2), axis=axis)
+        a1 = jnp.take(a, jnp.arange(1, 2 * half, 2), axis=axis)
+        s_ = add(a0, a1)
+        if n % 2:
+            tail = jnp.take(a, jnp.arange(n - 1, n), axis=axis)
+            s_ = jnp.concatenate([s_, tail], axis=axis)
+        a = s_
+        n = a.shape[axis]
+    return jnp.squeeze(a, axis=axis)
+
+
 def from_i64(x):
     """Reduce a (possibly negative) Python/NumPy integer array to canonical M31."""
     x = np.asarray(x, dtype=np.int64) % P

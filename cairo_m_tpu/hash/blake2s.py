@@ -95,7 +95,12 @@ def hash_words(cols):
     forms message ``i`` (little-endian words).  Returns a list of 8 uint32
     arrays (the digests as LE words).  Message byte length = 4*len(cols),
     static at trace time.
+
+    Long messages run the compression as a `lax.scan` over blocks so the
+    compiled graph stays one-compress-sized regardless of message length.
     """
+    import jax
+
     n_words = len(cols)
     n_bytes = n_words * 4
     assert n_words >= 1
@@ -103,13 +108,54 @@ def hash_words(cols):
     h = [jnp.uint32(int(IV[i]) ^ (int(_PARAM0) if i == 0 else 0)) * jnp.ones_like(shape_like) for i in range(8)]
     zero = jnp.zeros_like(shape_like)
     n_blocks = max(1, -(-n_words // 16))
-    for blk in range(n_blocks):
-        block = cols[blk * 16 : (blk + 1) * 16]
-        block = list(block) + [zero] * (16 - len(block))
-        is_last = blk == n_blocks - 1
-        t = n_bytes if is_last else (blk + 1) * 64
-        h = compress(h, block, t, is_last)
-    return h
+    if n_blocks <= 2:
+        for blk in range(n_blocks):
+            block = cols[blk * 16 : (blk + 1) * 16]
+            block = list(block) + [zero] * (16 - len(block))
+            is_last = blk == n_blocks - 1
+            t = n_bytes if is_last else (blk + 1) * 64
+            h = compress(h, block, t, is_last)
+        return h
+    # scan formulation: blocks (n_blocks, 16, ...), per-block t and last flag
+    padded = list(cols) + [zero] * (n_blocks * 16 - n_words)
+    blocks = jnp.stack(
+        [jnp.stack(padded[b * 16 : (b + 1) * 16]) for b in range(n_blocks)]
+    )
+    ts = jnp.asarray(
+        np.array(
+            [n_bytes if b == n_blocks - 1 else (b + 1) * 64 for b in range(n_blocks)],
+            dtype=np.uint64,
+        ).astype(np.uint32)
+    )
+    lasts = jnp.asarray(
+        np.array([b == n_blocks - 1 for b in range(n_blocks)], dtype=np.uint32)
+    )
+
+    def body(hcarry, xs):
+        block, t, last = xs
+        hn = compress_dyn(list(hcarry), [block[i] for i in range(16)], t, last)
+        return tuple(hn), None
+
+    hfinal, _ = jax.lax.scan(body, tuple(h), (blocks, ts, lasts))
+    return list(hfinal)
+
+
+def compress_dyn(h, m, t, last):
+    """Compression with traced t (uint32, < 2^32) and last flag (uint32 0/1)."""
+    v = list(h) + [jnp.uint32(iv) * jnp.ones_like(h[0]) for iv in IV]
+    v[12] = v[12] ^ t
+    v[14] = v[14] ^ (last * jnp.uint32(0xFFFFFFFF))
+    for r in range(10):
+        s_ = SIGMA[r]
+        _g(v, 0, 4, 8, 12, m[s_[0]], m[s_[1]])
+        _g(v, 1, 5, 9, 13, m[s_[2]], m[s_[3]])
+        _g(v, 2, 6, 10, 14, m[s_[4]], m[s_[5]])
+        _g(v, 3, 7, 11, 15, m[s_[6]], m[s_[7]])
+        _g(v, 0, 5, 10, 15, m[s_[8]], m[s_[9]])
+        _g(v, 1, 6, 11, 12, m[s_[10]], m[s_[11]])
+        _g(v, 2, 7, 8, 13, m[s_[12]], m[s_[13]])
+        _g(v, 3, 4, 9, 14, m[s_[14]], m[s_[15]])
+    return [h[i] ^ v[i] ^ v[i + 8] for i in range(8)]
 
 
 def hash_words_np(cols) -> np.ndarray:

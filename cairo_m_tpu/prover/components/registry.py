@@ -1,0 +1,129 @@
+"""Component registry: fixed commitment order + generic witness plumbing.
+
+Registry order (mixed into the transcript as each component's log_size):
+generic components first, then opcode components by opcode number — the
+reference's `Components` struct equivalent (components/mod.rs:106-445).
+
+Range-check / bitwise multiplicities are counted *generically*: after all
+other components' traces exist, their relation entries are re-derived and
+every consumption (multiplicity = -enabler) of RangeCheckN / Bitwise is
+histogrammed into the table component's multiplicity column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..relations import Relations
+from ..stark import framework
+from .generic import (
+    BITWISE_LOG_SIZE,
+    BitwiseComponent,
+    ClockUpdateComponent,
+    MemoryComponent,
+    MerkleComponent,
+    Poseidon2Component,
+    RangeCheckComponent,
+)
+from .opcodes import make_opcode_components
+
+P = (1 << 31) - 1
+
+
+class ComponentSet:
+    """All components of one proof, in commitment order."""
+
+    def __init__(self, relations: Relations):
+        self.relations = relations
+        self.memory = MemoryComponent(relations)
+        self.merkle = MerkleComponent(relations)
+        self.clock_update = ClockUpdateComponent(relations)
+        self.poseidon2 = Poseidon2Component(relations)
+        self.range_check_8 = RangeCheckComponent(relations, 8)
+        self.range_check_16 = RangeCheckComponent(relations, 16)
+        self.range_check_20 = RangeCheckComponent(relations, 20)
+        self.bitwise = BitwiseComponent(relations)
+        self.opcodes = make_opcode_components(relations)  # list, opcode order
+        self.all = [
+            self.memory,
+            self.merkle,
+            self.clock_update,
+            self.poseidon2,
+            self.range_check_8,
+            self.range_check_16,
+            self.range_check_20,
+            self.bitwise,
+        ] + self.opcodes
+
+    # -- witness generation --
+
+    def write_traces(self, prover_input):
+        self.memory.write_trace(prover_input)
+        self.merkle.write_trace(prover_input)
+        self.clock_update.write_trace(prover_input)
+        self.poseidon2.write_trace(prover_input)
+        for oc in self.opcodes:
+            oc.write_trace(prover_input)
+        # count range-check / bitwise consumptions generically
+        counted = [self.memory, self.merkle, self.clock_update, self.poseidon2] + self.opcodes
+        rc = {8: np.zeros(1 << 8, np.uint64), 16: np.zeros(1 << 16, np.uint64), 20: np.zeros(1 << 20, np.uint64)}
+        bw = np.zeros(1 << BITWISE_LOG_SIZE, np.uint64)
+        rel_to_bits = {
+            id(self.relations.range_check_8): 8,
+            id(self.relations.range_check_16): 16,
+            id(self.relations.range_check_20): 20,
+        }
+        for comp in counted:
+            pp = comp.preprocessed_columns() if comp.n_preprocessed_cols else ()
+            entries = framework._entries_host(comp, comp.trace_rows, pp)
+            for e in entries:
+                bits = rel_to_bits.get(id(e.relation))
+                is_bw = e.relation is self.relations.bitwise
+                if bits is None and not is_bw:
+                    continue
+                # consumption weight = -multiplicity (entries use -enabler)
+                mult = e.multiplicity.as_ext().v[0]
+                weight = ((P - mult.astype(np.uint64)) % P).astype(np.uint64)
+                n = 1 << comp.log_size
+                weight = np.broadcast_to(weight, (n,))
+                if bits is not None:
+                    vals = np.broadcast_to(e.values[0].v, (n,)).astype(np.uint64)
+                    # mask out zero-weight (padding) rows: their values may be
+                    # out of table range (e.g. clock diffs of -1)
+                    sel = weight != 0
+                    np.add.at(rc[bits], vals[sel], weight[sel])
+                else:
+                    op = np.broadcast_to(e.values[0].v, (n,)).astype(np.uint64)
+                    a = np.broadcast_to(e.values[1].v, (n,)).astype(np.uint64)
+                    b = np.broadcast_to(e.values[2].v, (n,)).astype(np.uint64)
+                    idx = (op << 16) + (a << 8) + b
+                    sel = weight != 0
+                    np.add.at(bw, idx[sel], weight[sel])
+        self.range_check_8.write_trace((rc[8] % P).astype(np.uint32))
+        self.range_check_16.write_trace((rc[16] % P).astype(np.uint32))
+        self.range_check_20.write_trace((rc[20] % P).astype(np.uint32))
+        self.bitwise.write_trace((bw % P).astype(np.uint32))
+
+    # -- column enumeration for the PCS phases --
+
+    def preprocessed_columns(self):
+        """[(log_size, np col)] + per-component ownership slices."""
+        cols = []
+        owners = []
+        for comp in self.all:
+            if comp.n_preprocessed_cols:
+                pcols = comp.preprocessed_columns()
+                owners.append((comp, len(cols), len(pcols)))
+                cols += [(comp.log_size, c) for c in pcols]
+        return cols, owners
+
+    def trace_columns(self):
+        cols = []
+        owners = []
+        for comp in self.all:
+            owners.append((comp, len(cols), len(comp.trace_rows)))
+            cols += [(comp.log_size, c) for c in comp.trace_rows]
+        return cols, owners
+
+    def log_sizes(self):
+        return [c.log_size for c in self.all]

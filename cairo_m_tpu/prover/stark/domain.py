@@ -115,26 +115,25 @@ def coset_points(log_size: int):
 
 
 def to_fft_order(v):
-    """Row order -> FFT order ([H; -H] twin-coset layout); works on the
-    leading axis of NumPy or JAX arrays."""
+    """Row order -> FFT order ([H; -H] twin-coset layout), on the LAST axis
+    (leading axes batch; works on NumPy or JAX arrays)."""
     import jax.numpy as jnp
 
     xp = jnp if not isinstance(v, np.ndarray) else np
-    return xp.concatenate([v[0::2], v[1::2][::-1]], axis=0)
+    return xp.concatenate([v[..., 0::2], v[..., 1::2][..., ::-1]], axis=-1)
 
 
 def from_fft_order(v):
-    """Inverse of to_fft_order."""
+    """Inverse of to_fft_order (last axis)."""
     import jax.numpy as jnp
 
-    n = v.shape[0]
+    n = v.shape[-1]
     m = n // 2
     xp = jnp if not isinstance(v, np.ndarray) else np
-    out_even = v[:m]
-    out_odd = v[m:][::-1]
-    # interleave: rows[0::2] = out_even, rows[1::2] = out_odd
-    stacked = xp.stack([out_even, out_odd], axis=1)
-    return stacked.reshape((n,) + v.shape[1:])
+    out_even = v[..., :m]
+    out_odd = v[..., m:][..., ::-1]
+    stacked = xp.stack([out_even, out_odd], axis=-1)
+    return stacked.reshape(v.shape[:-1] + (n,))
 
 
 @lru_cache(maxsize=None)
@@ -200,13 +199,13 @@ def bitrev_indices(log_size: int) -> np.ndarray:
 
 
 def bit_reverse(v, log_size: int):
-    """Permute the leading axis by bit reversal (involution)."""
+    """Permute the LAST axis by bit reversal (involution)."""
     import jax.numpy as jnp
 
     rev = bitrev_indices(log_size)
     if isinstance(v, np.ndarray):
-        return v[rev]
-    return jnp.take(v, jnp.asarray(rev), axis=0)
+        return v[..., rev]
+    return jnp.take(v, jnp.asarray(rev), axis=-1)
 
 
 def to_commit_order(rows, log_size: int):

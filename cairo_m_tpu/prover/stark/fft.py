@@ -31,8 +31,9 @@ from . import domain
 P = (1 << 31) - 1
 
 
-@lru_cache(maxsize=None)
 def _twiddles_dev(log_size: int, inverse: bool):
+    """Twiddles as fresh constants per call (host-cached NumPy underneath);
+    caching device arrays would leak tracers into jitted callers."""
     levels, inv_levels = domain.fft_twiddles(log_size)
     src = inv_levels if inverse else levels
     return [jnp.asarray(t) for t in src]

@@ -19,33 +19,49 @@ and verification are host-side path walks.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ...hash import blake2s
+
+
+# One jitted hash per level: shapes (n_words, n) repeat across levels and
+# trees, so the jit cache amortizes; a whole-pyramid jit would be a single
+# ~15k-op graph that XLA:CPU compiles for minutes.
+_hash_leaf = jax.jit(lambda stacked: tuple(blake2s.hash_words(list(stacked))))
+
+
+@jax.jit
+def _hash_inner(digests):
+    msg = [w.reshape(-1, 2)[:, 0] for w in digests] + [
+        w.reshape(-1, 2)[:, 1] for w in digests
+    ]
+    return tuple(blake2s.hash_words(msg))
 
 
 class MerkleTree:
     """One tree over equal-length uint32 columns (length 2^log_size)."""
 
     def __init__(self, columns):
-        self.columns = [c for c in columns]
-        n = int(self.columns[0].shape[0])
-        assert all(int(c.shape[0]) == n for c in self.columns)
+        """columns: list of 1-D arrays, or one stacked (n_cols, n) array."""
+        if isinstance(columns, (list, tuple)):
+            stacked = jnp.stack(list(columns))
+        else:
+            stacked = columns
+        n_cols, n = int(stacked.shape[0]), int(stacked.shape[1])
+        self.columns = stacked
         self.log_size = n.bit_length() - 1
         assert 1 << self.log_size == n
-        # leaf layer: hash all column values at each index
-        digests = blake2s.hash_words(self.columns)
-        self.levels = [digests]  # levels[0] = leaves ... levels[-1] = root
+        digests = _hash_leaf(stacked)
+        self.levels = [list(digests)]
         while int(digests[0].shape[0]) > 1:
-            msg = [w.reshape(-1, 2)[:, 0] for w in digests] + [
-                w.reshape(-1, 2)[:, 1] for w in digests
-            ]
-            digests = blake2s.hash_words(msg)
-            self.levels.append(digests)
+            digests = _hash_inner(tuple(digests))
+            self.levels.append(list(digests))
         self._root = b"".join(
-            int(np.asarray(w)[0]).to_bytes(4, "little") for w in digests
+            int(np.asarray(w)[0]).to_bytes(4, "little") for w in self.levels[-1]
         )
 
     def root(self) -> bytes:

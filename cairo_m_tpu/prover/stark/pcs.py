@@ -21,11 +21,25 @@ folds, the last-layer degree, and the PoW.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import domain, fft, fri, merkle, quotients
+
+
+@lru_cache(maxsize=None)
+def _commit_pipeline(trace_log: int, commit_log: int):
+    """Jitted: (k, 2^trace_log) fft-order stack -> (coeffs, commit-order LDE)."""
+
+    def f(stacked):
+        coeffs = fft.ifft(stacked, trace_log)
+        ext = fft.fft(fft.embed_coeffs(coeffs, trace_log, commit_log), commit_log)
+        return coeffs, domain.bit_reverse(ext, commit_log)
+
+    return jax.jit(f)
 
 P = (1 << 31) - 1
 
@@ -58,7 +72,8 @@ REGULAR_96_BITS = PcsConfig(
 
 
 class CommitmentPhase:
-    """One committed phase: columns in fft order + per-size Merkle trees."""
+    """One committed phase: columns grouped by log_size, one jitted LDE +
+    one Merkle tree per group."""
 
     def __init__(self, columns_fft, log_blowup: int):
         """columns_fft: list of (trace_log_size, fft-order M31 evals).
@@ -68,19 +83,40 @@ class CommitmentPhase:
         """
         self.trace_logs = [int(l) for l, _ in columns_fft]
         self.commit_logs = [l + log_blowup for l in self.trace_logs]
-        self.coeffs = []  # per column: coefficient array (device)
-        commit_cols = []
-        for (l, col), cl in zip(columns_fft, self.commit_logs):
-            coeffs = fft.ifft(col, l)
-            self.coeffs.append(coeffs)
-            ext = fft.fft(fft.embed_coeffs(coeffs, l, cl), cl)
-            commit_cols.append(domain.bit_reverse(ext, cl))
-        self.commit_cols = commit_cols
-        # one tree per commit log size, descending
+        # group columns by trace log (stable order within group)
+        self.group_index = {}  # column index -> (trace_log, position in group)
+        groups: dict[int, list] = {}
+        for ci, (l, col) in enumerate(columns_fft):
+            groups.setdefault(l, []).append((ci, col))
+        self.stacked_coeffs = {}  # trace_log -> (k, n) device
+        self.stacked_commit = {}  # commit_log -> (k, 2n) device, commit order
         self.trees = {}
-        for cl in sorted(set(self.commit_logs), reverse=True):
-            group = [c for c, l in zip(commit_cols, self.commit_logs) if l == cl]
-            self.trees[cl] = merkle.commit(group)
+        for l in sorted(groups, reverse=True):
+            cl = l + log_blowup
+            idxs = [ci for ci, _ in groups[l]]
+            stacked = jnp.stack([c for _, c in groups[l]])
+            coeffs, commit_cols = _commit_pipeline(l, cl)(stacked)
+            self.stacked_coeffs[l] = coeffs
+            self.stacked_commit[cl] = commit_cols
+            self.trees[cl] = merkle.commit(commit_cols)
+            for pos, ci in enumerate(idxs):
+                self.group_index[ci] = (l, pos)
+
+    def commit_col(self, ci):
+        l, pos = self.group_index[ci]
+        return self.stacked_commit[self.commit_logs[ci]][pos]
+
+    def coeff_slice(self, start: int, count: int):
+        """Stacked coefficient rows for columns [start, start+count), which
+        must all share one log_size and be contiguous in their group."""
+        if count == 0:
+            n = 1 << (self.trace_logs[0] if self.trace_logs else 4)
+            return jnp.zeros((0, n), jnp.uint32)
+        l0, p0 = self.group_index[start]
+        for i in range(count):
+            l, p = self.group_index[start + i]
+            assert l == l0 and p == p0 + i, "non-contiguous coeff slice"
+        return self.stacked_coeffs[l0][p0 : p0 + count]
 
     def roots(self):
         return [(cl, self.trees[cl].root()) for cl in sorted(self.trees, reverse=True)]
@@ -90,19 +126,29 @@ class CommitmentPhase:
             channel.mix_root(r)
 
     def sample(self, points_per_column):
-        """Evaluate each column at its sample points (device).
-        points_per_column: list (per column) of lists of QM31 circle points
-        (host scalar tuples).  Returns nested values [col][point]."""
-        out = []
-        for coeffs, l, pts in zip(self.coeffs, self.trace_logs, points_per_column):
-            vals = []
-            for z in pts:
-                zx = tuple(jnp.uint32(int(x)) for x in z[0])
-                zy = tuple(jnp.uint32(int(x)) for x in z[1])
-                v = fft.eval_at_qpoint(coeffs, l, (zx, zy))
-                vals.append(tuple(int(np.asarray(x)) for x in v))
-            out.append(vals)
+        """Evaluate columns at sample points.  All columns of one log_size in
+        a phase must share the same point list (the protocol guarantees it);
+        one stacked jitted point-evaluation per (log, point)."""
+        out = [[None] * len(pts) for pts in points_per_column]
+        jobs = {}
+        for ci, (l, pts) in enumerate(zip(self.trace_logs, points_per_column)):
+            for pi_, z in enumerate(pts):
+                jobs.setdefault((l, z), []).append((ci, pi_))
+        for (l, z), lst in jobs.items():
+            coeffs = self.stacked_coeffs[l]
+            zx = tuple(jnp.uint32(int(x)) for x in z[0])
+            zy = tuple(jnp.uint32(int(x)) for x in z[1])
+            v = _eval_stack(l)(coeffs, (zx, zy))
+            vh = [np.asarray(x) for x in v]
+            for ci, pi_ in lst:
+                _, pos = self.group_index[ci]
+                out[ci][pi_] = tuple(int(vh[k][pos]) for k in range(4))
         return out
+
+
+@lru_cache(maxsize=None)
+def _eval_stack(log_size: int):
+    return jax.jit(lambda coeffs, z: fft.eval_at_qpoint(coeffs, log_size, z))
 
 
 @dataclass
@@ -182,7 +228,7 @@ class CommitmentSchemeProver:
         for phase, pts, vals in zip(self.phases, sample_points, sampled):
             for col_idx, (zs, vs) in enumerate(zip(pts, vals)):
                 cl = phase.commit_logs[col_idx]
-                col_dev = phase.commit_cols[col_idx]
+                col_dev = phase.commit_col(col_idx)
                 for z, v in zip(zs, vs):
                     samples.append((cl, col_dev, z, v, apow))
                     apow = fri.qscalar_mul(apow, random_coeff)

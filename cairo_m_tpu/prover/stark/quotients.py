@@ -97,44 +97,68 @@ def group_samples(samples):
     return out
 
 
-def quotient_column_device(log_size: int, batches):
-    """Evaluate Q_l over the full commit domain (device).
+from functools import lru_cache
 
-    ``batches``: list of ColumnSampleBatch whose column handles are device
-    M31 arrays in commit order.  Returns a QM31 limb tuple (commit order).
-    """
+import jax
+
+
+@lru_cache(maxsize=None)
+def _batch_term_fn(k: int, log_size: int):
+    """Jitted per-(k columns, domain) quotient term:
+    f(cols (k,n), w (k,4), wa, wb, c, dx, dy, dc, px, py) -> 4 x (n,)."""
+
+    def f(cols, w, wa, wb, c, dx, dy, dc, px, py):
+        # wf_j = sum_i w[i,j] * cols[i]
+        wf = tuple(
+            m31.sum_mod(m31.mul(w[:, j][:, None], cols), axis=0) for j in range(4)
+        )
+        cq = tuple(c[j] for j in range(4))
+        waq = tuple(wa[j] for j in range(4))
+        wbq = tuple(wb[j] for j in range(4))
+        numer = qsub(qmul(wf, cq), qadd(qmul_m31(waq, py), wbq))
+        den = qadd(
+            qadd(
+                qmul_m31(tuple(dx[j] for j in range(4)), px),
+                qmul_m31(tuple(dy[j] for j in range(4)), py),
+            ),
+            tuple(dc[j] for j in range(4)),
+        )
+        return qmul(numer, qinv(den))
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _commit_points(log_size: int):
     xs, ys = domain.coset_points(log_size)
-    px = jnp.asarray(domain.to_commit_order(xs, log_size))
-    py = jnp.asarray(domain.to_commit_order(ys, log_size))
+    return (
+        jnp.asarray(domain.to_commit_order(xs, log_size)),
+        jnp.asarray(domain.to_commit_order(ys, log_size)),
+    )
+
+
+def quotient_column_device(log_size: int, batches):
+    """Evaluate Q_l over the full commit domain (device, jitted per batch
+    shape).  Column handles are device M31 arrays in commit order."""
+    px, py = _commit_points(log_size)
     total = None
     for b in batches:
-        # accumulate c * sum_i w_i f_i(p) - (y_p * sum w_i a_i + sum w_i b_i)
-        wf = None  # QM31 accumulator of weighted columns
-        wa = QZERO
-        wb = QZERO
+        k = len(b.entries)
+        cols = jnp.stack([col for col, _, _ in b.entries])
+        w = np.zeros((k, 4), dtype=np.uint32)
+        wa, wb = QZERO, QZERO
         _, _, c = line_coeffs(b.z, b.entries[0][1])
-        for col, v, apow in b.entries:
+        for i, (col, v, apow) in enumerate(b.entries):
             a_i, b_i, _ = line_coeffs(b.z, v)
             wa = qscalar_add(wa, qscalar_mul(apow, a_i))
             wb = qscalar_add(wb, qscalar_mul(apow, b_i))
-            wcol = qmul_m31(tuple(jnp.uint32(int(x)) for x in apow), col)
-            wf = wcol if wf is None else qadd(wf, wcol)
-        cdev = tuple(jnp.uint32(int(x)) for x in c)
-        wadev = tuple(jnp.uint32(int(x)) for x in wa)
-        wbdev = tuple(jnp.uint32(int(x)) for x in wb)
-        numer = qsub(
-            qmul(wf, cdev),
-            qadd(qmul_m31(wadev, py), wbdev),
-        )
+            w[i] = apow
         dx, dy, dc = denominator_coeffs(b.z)
-        den = qadd(
-            qadd(
-                qmul_m31(tuple(jnp.uint32(int(x)) for x in dx), px),
-                qmul_m31(tuple(jnp.uint32(int(x)) for x in dy), py),
-            ),
-            tuple(jnp.uint32(int(x)) for x in dc),
+        arr = lambda q: jnp.asarray(np.array(q, np.uint32))
+        term = _batch_term_fn(k, log_size)(
+            cols, jnp.asarray(w), arr(wa), arr(wb), arr(c),
+            arr(dx), arr(dy), arr(dc), px, py,
         )
-        term = qmul(numer, qinv(den))
         total = term if total is None else qadd(total, term)
     return total
 

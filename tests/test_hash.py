@@ -76,3 +76,14 @@ def test_blake2s_device_matches_hashlib_exact_block():
         axis=1,
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_blake2s_device_matches_hashlib_scan_path():
+    # 40-word (160-byte) messages: 3 blocks -> lax.scan path
+    cols = [RNG.integers(0, 2**32, size=8, dtype=np.uint32) for _ in range(40)]
+    want = blake2s.hash_words_np(cols)
+    got = np.stack(
+        [np.asarray(h) for h in jax.jit(blake2s.hash_words)([jnp.asarray(c) for c in cols])],
+        axis=1,
+    )
+    np.testing.assert_array_equal(got, want)

@@ -1,0 +1,73 @@
+"""End-to-end proof of a static-memory segment (no execution steps) —
+the reference's minimal e2e test (`tests/prover.rs:34-113`), exercising
+memory, merkle, poseidon2, clock_update (empty) and the table components.
+"""
+
+import numpy as np
+import pytest
+
+from cairo_m_tpu.isa.program import PublicAddressRanges
+from cairo_m_tpu.isa.state import Segment, State
+from cairo_m_tpu.prover.adapter.adapter import import_from_runner_output
+from cairo_m_tpu.prover.config import test_config as small_config
+from cairo_m_tpu.prover.prove import Proof, prove_cairo_m
+from cairo_m_tpu.prover.verify import VerificationError, verify_cairo_m
+
+CFG = small_config(n_queries=8, pow_bits=2)
+
+
+def make_static_input(n_cells=5):
+    mem = {
+        i: ((i + 1, 2 * i, 3 * i, (7 * i) % 11), 0, 0) for i in range(n_cells)
+    }
+    seg = Segment(initial_memory=mem, memory_trace=[], trace=[State(0, 0)])
+    return import_from_runner_output(seg, PublicAddressRanges.new(0, 0, 0))
+
+
+@pytest.fixture(scope="module")
+def static_proof():
+    pi = make_static_input()
+    timing = {}
+    proof = prove_cairo_m(pi, CFG, timing=timing)
+    print("prove timing:", timing)
+    return proof
+
+
+def test_prove_and_verify_unchanged_memory(static_proof):
+    assert verify_cairo_m(static_proof, CFG)
+
+
+def test_roots_equal_for_unchanged_memory(static_proof):
+    pd = static_proof.public_data
+    assert pd.initial_root == pd.final_root
+    assert pd.clock == 0
+
+
+def test_proof_json_roundtrip(static_proof):
+    import json
+
+    obj = json.loads(json.dumps(static_proof.to_json_obj()))
+    proof2 = Proof.from_json_obj(obj)
+    assert verify_cairo_m(proof2, CFG)
+
+
+def test_tampered_claimed_sum_rejected(static_proof):
+    import json
+
+    obj = json.loads(json.dumps(static_proof.to_json_obj()))
+    proof2 = Proof.from_json_obj(obj)
+    c = list(proof2.claimed_sums[0])
+    c[0] = (c[0] + 1) % ((1 << 31) - 1)
+    proof2.claimed_sums[0] = tuple(c)
+    with pytest.raises(VerificationError):
+        verify_cairo_m(proof2, CFG)
+
+
+def test_tampered_public_data_rejected(static_proof):
+    import json
+
+    obj = json.loads(json.dumps(static_proof.to_json_obj()))
+    proof2 = Proof.from_json_obj(obj)
+    proof2.public_data.initial_root ^= 1
+    with pytest.raises(VerificationError):
+        verify_cairo_m(proof2, CFG)
