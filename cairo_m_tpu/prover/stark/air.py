@@ -54,6 +54,7 @@ class DeviceOps:
     """Values: base = jnp uint32 array; ext = 4-tuple of arrays."""
 
     is_host = False
+    xp = jnp
 
     badd = staticmethod(m31.add)
     bsub = staticmethod(m31.sub)
@@ -131,6 +132,7 @@ class HostArrayOps(DeviceOps):
     """NumPy-array mode for the trace-check tool."""
 
     is_host = False
+    xp = np
     badd = staticmethod(m31.add_np)
     bsub = staticmethod(m31.sub_np)
     bmul = staticmethod(m31.mul_np)
@@ -329,8 +331,10 @@ class EvalAtRow:
 
     # -- constraints / lookups --
 
-    def add_constraint(self, v: Val):
-        self.constraints.append(v)
+    def add_constraint(self, v: Val, lanes: int = 1):
+        """Add a constraint.  ``lanes > 1``: v's value arrays carry a leading
+        stacked axis of that many constraints (consecutive alpha powers)."""
+        self.constraints.append((v, lanes))
 
     def add_to_relation(self, relation: Relation, multiplicity: Val, values):
         self.relation_entries.append(RelationEntry(relation, multiplicity, list(values)))

@@ -177,15 +177,16 @@ def count_constraints(comp) -> int:
         r.z = (0, 0, 0, 0)
         r.alpha_powers = [(1, 0, 0, 0)] * r.arity
     try:
+        z1 = np.zeros(1, np.uint32)
         ev = EvalAtRow(
-            HostOps,
-            lambda i, o: Val(0, False, HostOps),
-            lambda i, o: Val((0, 0, 0, 0), True, HostOps),
-            Val((0, 0, 0, 0), True, HostOps),
-            lambda i, o: Val(0, False, HostOps),
+            HostArrayOps,
+            lambda i, o: Val(z1, False, HostArrayOps),
+            lambda i, o: Val((z1, z1, z1, z1), True, HostArrayOps),
+            Val((z1, z1, z1, z1), True, HostArrayOps),
+            lambda i, o: Val(z1, False, HostArrayOps),
         )
         comp.evaluate(ev)
-        n = len(ev.constraints)
+        n = sum(lanes for _, lanes in ev.constraints)
     finally:
         _restore_relations(rel, saved)
     _COUNT_CACHE[key] = n
@@ -241,38 +242,46 @@ def _component_contrib_fn(comp, blowup: int):
             shift_val = Val(tuple(shift4[k] for k in range(4)), True, DeviceOps)
             ev = EvalAtRow(DeviceOps, tg, ig, shift_val, pg)
             comp.evaluate(ev)
-            # alpha chain: acc = acc*alpha + C_k.  For small domains use a
-            # scan over stacked constraints (one-qmul graph, fast compile);
-            # for large domains chain inline (avoids a (K,4,n) buffer).
+            # alpha chain: acc = acc*alpha + C_k, respecting multi-lane
+            # (stacked) constraints, which fold via a lax.scan (one-qmul
+            # graph regardless of lane count).
+            from ...field.qm31 import qmul as _qmul, qadd as _qadd
+
             n_ext = 1 << elog
             alpha_t = tuple(alpha4[k] for k in range(4))
-            K = len(ev.constraints)
-            if K * n_ext <= (1 << 24):
-                stacked = jnp.stack(
-                    [
-                        jnp.stack(
-                            [jnp.broadcast_to(x, (n_ext,)) for x in c.as_ext().v]
-                        )
-                        for c in ev.constraints
-                    ]
-                )  # (K, 4, n_ext)
 
-                def chain(acc, ck):
-                    from ...field.qm31 import qmul as _qmul, qadd as _qadd
-
-                    prod = _qmul(tuple(acc[k] for k in range(4)), alpha_t)
+            def scan_lanes(acc, stacked):
+                # stacked: (m, 4, n_ext); acc: 4-tuple or None
+                def chain(a, ck):
+                    prod = _qmul(tuple(a[k] for k in range(4)), alpha_t)
                     new = _qadd(prod, tuple(ck[k] for k in range(4)))
                     return jnp.stack(new), None
 
-                accf, _ = jax.lax.scan(chain, stacked[0], stacked[1:])
-                accf = tuple(accf[k] for k in range(4))
-            else:
-                from ...field.qm31 import qmul as _qmul, qadd as _qadd
+                if acc is None:
+                    init = stacked[0]
+                    rest = stacked[1:]
+                else:
+                    init = jnp.stack(
+                        _qadd(_qmul(acc, alpha_t), tuple(stacked[0][k] for k in range(4)))
+                    )
+                    rest = stacked[1:]
+                out, _ = jax.lax.scan(chain, init, rest)
+                return tuple(out[k] for k in range(4))
 
-                accf = None
-                for c in ev.constraints:
-                    ce = c.as_ext().v
-                    accf = ce if accf is None else _qadd(_qmul(accf, alpha_t), ce)
+            accf = None
+            for c, lanes in ev.constraints:
+                ce = c.as_ext().v
+                if lanes == 1:
+                    ce = tuple(jnp.broadcast_to(x, (n_ext,)) for x in ce)
+                    accf = (
+                        ce if accf is None else _qadd(_qmul(accf, alpha_t), ce)
+                    )
+                else:
+                    # ce limbs have shape (lanes, n_ext)
+                    stacked = jnp.stack(
+                        [jnp.broadcast_to(x, (lanes, n_ext)) for x in ce], axis=1
+                    )  # (lanes, 4, n_ext)
+                    accf = scan_lanes(accf, stacked)
             return tuple(m31.mul(accf[k], vinv) for k in range(4))
         finally:
             _restore_relations(comp.relations, saved)
@@ -382,14 +391,18 @@ def evaluate_at_point(
     contribs = []
     if sampled_preprocessed is None:
         sampled_preprocessed = [[] for _ in components]
+
+    def arr1(q):
+        return tuple(np.array([x], np.uint32) for x in q)
+
     for ci, comp in enumerate(components):
         def tg(idx, offset, _ci=ci):
             assert offset == 0
-            return Val(tuple(sampled_trace[_ci][idx][0]), True, HostOps)
+            return Val(arr1(sampled_trace[_ci][idx][0]), True, HostArrayOps)
 
         def pg(idx, offset, _ci=ci):
             assert offset == 0
-            return Val(tuple(sampled_preprocessed[_ci][idx][0]), True, HostOps)
+            return Val(arr1(sampled_preprocessed[_ci][idx][0]), True, HostArrayOps)
 
         def ig(idx, offset, _ci=ci):
             limbs = []
@@ -401,18 +414,35 @@ def evaluate_at_point(
             basis = [(1, 0, 0, 0), (0, 1, 0, 0), (0, 0, 1, 0), (0, 0, 0, 1)]
             for limb, b in zip(limbs, basis):
                 acc = qscalar_add(acc, qscalar_mul(tuple(limb), b))
-            return Val(acc, True, HostOps)
+            return Val(arr1(acc), True, HostArrayOps)
 
         shift = Val(
-            logup_shift_scalar(claimed_sums[ci], comp.log_size), True, HostOps
+            arr1(logup_shift_scalar(claimed_sums[ci], comp.log_size)),
+            True,
+            HostArrayOps,
         )
-        ev = EvalAtRow(HostOps, tg, ig, shift, pg)
+        ev = EvalAtRow(HostArrayOps, tg, ig, shift, pg)
         comp.evaluate(ev)
         acc = None
-        for c in ev.constraints:
-            ce = c.as_ext().v
-            acc = ce if acc is None else qscalar_add(qscalar_mul(acc, random_coeff), ce)
-        counts.append(len(ev.constraints))
+        n_constraints = 0
+        for c, lanes in ev.constraints:
+            ce_limbs = c.as_ext().v
+            n_constraints += lanes
+            if lanes == 1:
+                ce = tuple(int(np.asarray(x).reshape(-1)[0]) for x in ce_limbs)
+                acc = ce if acc is None else qscalar_add(
+                    qscalar_mul(acc, random_coeff), ce
+                )
+            else:
+                for j in range(lanes):
+                    ce = tuple(
+                        int(np.broadcast_to(np.asarray(x), (lanes, 1))[j, 0])
+                        for x in ce_limbs
+                    )
+                    acc = ce if acc is None else qscalar_add(
+                        qscalar_mul(acc, random_coeff), ce
+                    )
+        counts.append(n_constraints)
         vinv = _qscalar_inv(z_values[ci])
         contribs.append(qscalar_mul(acc, vinv))
     total = QZERO
@@ -475,11 +505,13 @@ def assert_constraints(component, trace_rows, interaction_cols, claimed_sum,
     ev = EvalAtRow(HostArrayOps, tg, ig, shift, pg)
     component.evaluate(ev)
     failures = []
-    for k, c in enumerate(ev.constraints):
+    k = 0
+    for c, lanes in ev.constraints:
         v = c.as_ext().v
         bad = np.nonzero(
             (v[0] != 0) | (v[1] != 0) | (v[2] != 0) | (v[3] != 0)
-        )[0]
-        if bad.size:
-            failures.append((k, int(bad[0])))
+        )
+        if bad[0].size:
+            failures.append((k + (int(bad[0][0]) if lanes > 1 else 0), int(bad[-1][0])))
+        k += lanes
     return failures
