@@ -679,9 +679,12 @@ class FnCompiler:
         if elem_slots != 1:
             cells = self.alloc(1)
             self.emit("StoreMulFpImm", src_off=cnt, imm=elem_slots, dst_off=cells)
+        s0 = self.alloc(1)
+        self.emit("StoreAddFpFp", src0_off=cur, src1_off=cells, dst_off=s0)
+        # never read+write the same cell in one instruction: the memory
+        # argument's rc20 on (clk - prev_clk - 1) forbids same-clock reuse
         s = self.alloc(1)
-        self.emit("StoreAddFpFp", src0_off=cur, src1_off=cells, dst_off=s)
-        self.emit("StoreAddFpImm", src_off=s, imm=P - 1, dst_off=s)
+        self.emit("StoreAddFpImm", src_off=s0, imm=P - 1, dst_off=s)
         mx = self.alloc(1)
         self.store_imm(MAX_ADDRESS, mx)
         base = self.alloc(1)

@@ -125,7 +125,11 @@ def _reduce_partial(s):
 
 
 def mul(a, b):
-    """a * b mod p using 16-bit limb products (uint32-only; TPU-safe).
+    """a * b mod p.
+
+    On 64-bit-enabled backends (CPU tests/dev: ``jax_enable_x64``) uses a
+    single uint64 product + Mersenne fold (~7 primitives).  Otherwise uses
+    16-bit limb products (uint32-only; TPU-safe).
 
     a = a0 + a1*2^16 (a0 < 2^16, a1 < 2^15), likewise b.
     product = lo + mid*2^16 + hi*2^32 with
@@ -140,6 +144,11 @@ def mul(a, b):
     """
     a = a.astype(jnp.uint32) if hasattr(a, "astype") else jnp.uint32(a)
     b = b.astype(jnp.uint32) if hasattr(b, "astype") else jnp.uint32(b)
+    if jax.config.jax_enable_x64:
+        p64 = a.astype(jnp.uint64) * b.astype(jnp.uint64)
+        p64 = (p64 & jnp.uint64(P)) + (p64 >> 31)
+        p64 = (p64 & jnp.uint64(P)) + (p64 >> 31)
+        return jnp.where(p64 == P, 0, p64).astype(jnp.uint32)
     a0 = a & MASK16
     a1 = a >> 16
     b0 = b & MASK16

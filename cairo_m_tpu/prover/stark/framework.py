@@ -52,7 +52,8 @@ def _entries_host(component, trace_rows, preprocessed_rows=()):
 
     def trace_getter(idx, offset):
         col = trace_rows[idx]
-        return Val(np.roll(col, offset) if offset else col, False, HostArrayOps)
+        # offset -1 = previous row = roll forward by +1
+        return Val(np.roll(col, -offset) if offset else col, False, HostArrayOps)
 
     def pp_getter(idx, offset):
         return Val(preprocessed_rows[idx], False, HostArrayOps)
@@ -227,13 +228,15 @@ def _component_contrib_fn(comp, blowup: int):
             def tg(idx, offset):
                 col = text[idx]
                 if offset:
-                    col = jnp.roll(col, roll * offset)
+                    # trace offset -k = index offset -k*blowup; previous row
+                    # values sit at roll(+k*blowup)
+                    col = jnp.roll(col, -roll * offset)
                 return Val(col, False, DeviceOps)
 
             def ig(idx, offset):
                 limbs = tuple(iext[4 * idx + k] for k in range(4))
                 if offset:
-                    limbs = tuple(jnp.roll(x, roll * offset) for x in limbs)
+                    limbs = tuple(jnp.roll(x, -roll * offset) for x in limbs)
                 return Val(limbs, True, DeviceOps)
 
             def pg(idx, offset):
@@ -483,7 +486,7 @@ def assert_constraints(component, trace_rows, interaction_cols, claimed_sum,
 
     def tg(idx, offset):
         col = trace_rows[idx]
-        return Val(np.roll(col, offset) if offset else col, False, HostArrayOps)
+        return Val(np.roll(col, -offset) if offset else col, False, HostArrayOps)
 
     def pg(idx, offset):
         return Val(preprocessed_rows[idx], False, HostArrayOps)
@@ -491,7 +494,7 @@ def assert_constraints(component, trace_rows, interaction_cols, claimed_sum,
     def ig(idx, offset):
         limbs = interaction_cols[idx]
         if offset:
-            limbs = tuple(np.roll(x, offset) for x in limbs)
+            limbs = tuple(np.roll(x, -offset) for x in limbs)
         return Val(limbs, True, HostArrayOps)
 
     shift = Val(

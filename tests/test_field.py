@@ -101,3 +101,14 @@ def test_qm31_nonresidue_tower():
     u2 = qm31.qmul(u, u)
     got = [int(np.asarray(c)[0]) for c in u2]
     assert got == [2, 1, 0, 0]
+
+
+def test_m31_mul_limb_path_matches_u64_path():
+    """The TPU uint32 limb path must stay covered even when tests run with
+    x64 enabled (CPU fast path)."""
+    import jax
+
+    a, b = rand_m31(4096), rand_m31(4096)
+    with jax.enable_x64(False):
+        got = np.asarray(jax.jit(m31.mul)(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_array_equal(got, m31.mul_np(a, b))
