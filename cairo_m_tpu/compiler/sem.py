@@ -407,6 +407,11 @@ class Analyzer:
             elif isinstance(e.rhs, A.IntLit) and not e.rhs.is_u32:
                 rt = self.type_of(e.rhs, scope, expected=lt)
         if op in ("+", "-", "*", "/", "%"):
+            # bools coerce to felt in arithmetic (comparison results)
+            if lt.kind == "bool":
+                lt = FELT
+            if rt.kind == "bool":
+                rt = FELT
             if lt != rt:
                 raise SemanticError(e.line, f"operand type mismatch: {lt} {op} {rt}")
             if lt.kind == "felt" and op == "%":

@@ -87,3 +87,72 @@ def test_tampered_trace_fails():
     b.operands[0, 2, 2] = (b.operands[0, 2, 2] + 1) % ((1 << 31) - 1)
     failures = assert_constraints(pi, raise_on_failure=False)
     assert failures  # must detect the lie
+
+
+U32PROG = """
+fn main(a: u32, b: u32) -> u32 {
+    let s = a + b;
+    let d = s - b;
+    let m = s * 3u32;
+    let x = (a & b) | (a ^ b);
+    let r = 0u32;
+    if a < b { r = r + 1u32; }
+    if a == b { r = r + 2u32; }
+    if s == 77u32 { r = r + 4u32; }
+    if d < 1000u32 { r = r + 8u32; }
+    let im = m & 255u32;
+    let io = m | 4096u32;
+    let ix = m ^ 65535u32;
+    let ia = m + 100u32;
+    return r + x + im + io + ix + ia + 5u32;
+}
+"""
+
+
+def test_u32_opcode_constraints():
+    pi = prover_input_for(U32PROG, "main", [123456789, 987654321])
+    assert assert_constraints(pi) == []
+
+
+def test_u32_relation_tracker_balanced():
+    pi = prover_input_for(U32PROG, "main", [5, 5])
+    assert relation_tracker(pi) == {}
+
+
+ALLOPS = """
+struct Pair { x: felt, y: felt }
+fn helper(p: Pair, k: felt) -> felt {
+    if k == 0 { return p.x; }
+    return p.y + helper(p, k - 1);
+}
+fn main(a: u32, b: u32, x: felt) -> felt {
+    let q = a / b;
+    let r = a % b;
+    let iq = a / 1000u32;
+    let le1 = x <= 100;
+    let le2 = x <= 2000000000;
+    let ok = 0;
+    if q * b + r == a { ok = ok + 1; }
+    let p = Pair { x: x, y: x * 2 };
+    let hp = helper(p, 3);
+    let arr = [x, x + 1, x + 2];
+    let ptr: felt* = new felt[2];
+    ptr[0] = arr[2];
+    let lt = (a < b) as felt;
+    let ge = (a >= b) as felt;
+    let sub = a - b;
+    let bw = (a & b) ^ (a | 255u32);
+    let neg = -x;
+    let nb = !(x == 0);
+    return le1 + le2 * 2 + ok * 4 + hp + ptr[0] + lt + ge
+        + (sub == 0u32) as felt + (bw == 0u32) as felt + neg + nb as felt;
+}
+"""
+
+
+def test_all_opcodes_constraints():
+    """The reference's all_opcodes.cm analogue: exercise every provable
+    opcode family in one program and check every constraint + balance."""
+    pi = prover_input_for(ALLOPS, "main", [123456789, 7777, 500])
+    assert assert_constraints(pi) == []
+    assert relation_tracker(pi) == {}
