@@ -1,0 +1,184 @@
+"""CLIs: compile / run / prove / verify (reference `cairo-m-compiler`,
+`cairo-m-runner`, `cairo-m-prover` binaries — SURVEY.md §1).
+
+  python -m cairo_m_tpu.cli compile program.cm -o program.json
+  python -m cairo_m_tpu.cli run program.json --entrypoint main --arguments 5
+  python -m cairo_m_tpu.cli prove program.json --entrypoint main \
+      --arguments 5 --output proof.json [--verify]
+  python -m cairo_m_tpu.cli verify proof.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_program(path):
+    from .isa.program import Program
+
+    with open(path) as f:
+        return Program.from_json(f.read())
+
+
+def _parse_args_list(raw):
+    from .isa.abi_codec import parse_arg
+
+    return [parse_arg(a) for a in raw]
+
+
+def cmd_compile(args):
+    from .compiler import CompilationError, CompilerOptions, compile_cairo
+
+    src = open(args.input).read()
+    try:
+        out = compile_cairo(
+            src,
+            name=args.input,
+            options=CompilerOptions(optimization_level=args.opt),
+        )
+    except CompilationError as e:
+        for d in e.diagnostics:
+            print(f"{d.file_path}:{d.line}: {d.severity}: {d.message}", file=sys.stderr)
+        return 1
+    dest = args.output or args.input.rsplit(".", 1)[0] + ".json"
+    with open(dest, "w") as f:
+        f.write(out.program.to_json())
+    print(f"compiled {args.input} -> {dest}")
+    return 0
+
+
+def cmd_run(args):
+    from .vm.runner import RunnerOptions, run_cairo_program
+
+    program = _load_program(args.program)
+    res = run_cairo_program(
+        program,
+        args.entrypoint,
+        _parse_args_list(args.arguments),
+        RunnerOptions(max_steps=args.max_steps),
+    )
+    for v in res.return_values:
+        print(v.flatten())
+    if args.trace_output:
+        seg0 = res.vm.segments[0]
+        for i, seg in enumerate(res.vm.segments):
+            base = args.trace_output.rsplit(".", 1)
+            stem = base[0]
+            ext = base[1] if len(base) > 1 else "bin"
+            with open(f"{stem}_segment_{i}.{ext}", "wb") as f:
+                f.write(seg.serialize_trace())
+            with open(f"{stem}_segment_{i}.mem.{ext}", "wb") as f:
+                f.write(seg.serialize_memory_trace())
+    return 0
+
+
+def cmd_prove(args):
+    import jax
+
+    from .prover.adapter.adapter import import_from_runner_output
+    from .prover.config import REGULAR_96_BITS
+    from .prover.prove import prove_cairo_m
+    from .prover.verify import verify_cairo_m
+    from .vm.runner import RunnerOptions, run_cairo_program
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    program = _load_program(args.program)
+    res = run_cairo_program(
+        program,
+        args.entrypoint,
+        _parse_args_list(args.arguments),
+        RunnerOptions(max_steps=args.max_steps),
+    )
+    proofs = []
+    for seg in res.vm.segments:
+        pi = import_from_runner_output(seg, res.public_address_ranges)
+        timing = {}
+        proof = prove_cairo_m(pi, REGULAR_96_BITS, timing=timing)
+        n_rows = sum(1 << l for l in proof.log_sizes)
+        print(
+            f"segment: {len(seg.trace) - 1} steps, {n_rows} trace rows, "
+            f"proved in {timing['total']:.2f}s "
+            f"({n_rows / timing['total'] / 1e6:.3f} MHz)",
+            file=sys.stderr,
+        )
+        proofs.append(proof.to_json_obj())
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump({"segments": proofs}, f)
+        print(f"proof written to {args.output}")
+    if args.verify:
+        from .prover.prove import Proof
+
+        for i, p in enumerate(proofs):
+            ok = verify_cairo_m(Proof.from_json_obj(p), REGULAR_96_BITS)
+            print(f"segment {i}: verified={ok}")
+    for v in res.return_values:
+        print("return:", v.flatten())
+    return 0
+
+
+def cmd_verify(args):
+    from .prover.config import REGULAR_96_BITS
+    from .prover.prove import Proof
+    from .prover.verify import VerificationError, verify_cairo_m
+
+    with open(args.proof) as f:
+        obj = json.load(f)
+    segs = obj["segments"] if "segments" in obj else [obj]
+    prev_final_root = None
+    for i, p in enumerate(segs):
+        proof = Proof.from_json_obj(p)
+        try:
+            verify_cairo_m(proof, REGULAR_96_BITS)
+        except VerificationError as e:
+            print(f"segment {i}: INVALID ({e})")
+            return 1
+        pd = proof.public_data
+        if prev_final_root is not None and pd.initial_root != prev_final_root:
+            print(f"segment {i}: continuation root mismatch")
+            return 1
+        prev_final_root = pd.final_root
+        print(f"segment {i}: OK")
+    print("proof verified")
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="cairo-m-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("compile")
+    c.add_argument("input")
+    c.add_argument("-o", "--output")
+    c.add_argument("--opt", default="standard", choices=["none", "standard"])
+    c.set_defaults(fn=cmd_compile)
+
+    r = sub.add_parser("run")
+    r.add_argument("program")
+    r.add_argument("--entrypoint", default="main")
+    r.add_argument("--arguments", nargs="*", default=[])
+    r.add_argument("--max-steps", type=int, default=(1 << 20) - 1)
+    r.add_argument("--trace-output")
+    r.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("prove")
+    p.add_argument("program")
+    p.add_argument("--entrypoint", default="main")
+    p.add_argument("--arguments", nargs="*", default=[])
+    p.add_argument("--max-steps", type=int, default=(1 << 20) - 1)
+    p.add_argument("--output", "-o")
+    p.add_argument("--verify", action="store_true")
+    p.set_defaults(fn=cmd_prove)
+
+    v = sub.add_parser("verify")
+    v.add_argument("proof")
+    v.set_defaults(fn=cmd_verify)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,115 @@
+"""ctypes bindings for the native VM + adapter core (vm_core.cpp).
+
+`run_native(program, entrypoint, args)` executes and witness-prepares in
+one native pass, returning a `ProverInput` ~100x faster than the Python
+VM + adapter (the host-side bottleneck for 1M+-cycle traces).  Falls back
+gracefully when the shared library is missing (`available()`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    path = os.path.join(os.path.dirname(__file__), "libcm_vm.so")
+    if not os.path.exists(path):
+        src = os.path.join(os.path.dirname(__file__), "vm_core.cpp")
+        os.system(f"g++ -O2 -shared -fPIC -std=c++17 -o {path} {src}")
+    lib = ctypes.CDLL(path)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.cm_run.restype = ctypes.c_void_p
+    lib.cm_run.argtypes = [
+        u32p, ctypes.c_uint64, ctypes.c_uint32, ctypes.c_uint32,
+        u32p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint64,
+    ]
+    for name in (
+        "cm_bundles", "cm_final_mem", "cm_initial_extra", "cm_clock_updates",
+        "cm_locals", "cm_heap",
+    ):
+        getattr(lib, name).restype = u32p
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    for name in (
+        "cm_bundles_len", "cm_final_mem_len", "cm_initial_extra_len",
+        "cm_clock_updates_len", "cm_n_steps", "cm_locals_len", "cm_heap_len",
+    ):
+        getattr(lib, name).restype = ctypes.c_uint64
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    for name in ("cm_status", "cm_final_pc", "cm_final_fp"):
+        getattr(lib, name).restype = (
+            ctypes.c_int if name == "cm_status" else ctypes.c_uint32
+        )
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.cm_free.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        return _load() is not None
+    except OSError:
+        return False
+
+
+def _arr(lib, h, fn, n):
+    ptr = getattr(lib, fn)(h)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint32)
+    return np.ctypeslib.as_array(ptr, shape=(n,)).copy()
+
+
+ERRORS = {
+    -2: "uninitialized instruction cell",
+    -3: "invalid opcode",
+    -4: "division by zero",
+    -5: "assertion failed",
+    -6: "u32 limb out of range",
+    -7: "memory error",
+}
+
+
+def run_raw(program_words: np.ndarray, entry_pc: int, fp_offset: int,
+            args: np.ndarray, ret_slots: int, max_steps: int):
+    """-> dict of raw result arrays.  program_words: (n, 4) uint32."""
+    lib = _load()
+    pw = np.ascontiguousarray(program_words, dtype=np.uint32)
+    ar = np.ascontiguousarray(args, dtype=np.uint32)
+    h = lib.cm_run(
+        pw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(pw),
+        entry_pc, fp_offset,
+        ar.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(ar),
+        ret_slots, max_steps,
+    )
+    try:
+        status = lib.cm_status(h)
+        if status != 0:
+            raise RuntimeError(f"native VM error: {ERRORS.get(status, status)}")
+        out = {
+            "n_steps": lib.cm_n_steps(h),
+            "final_pc": lib.cm_final_pc(h),
+            "final_fp": lib.cm_final_fp(h),
+            "bundles": _arr(lib, h, "cm_bundles", lib.cm_bundles_len(h)),
+            "final_mem": _arr(lib, h, "cm_final_mem", lib.cm_final_mem_len(h)),
+            "initial_extra": _arr(
+                lib, h, "cm_initial_extra", lib.cm_initial_extra_len(h)
+            ),
+            "clock_updates": _arr(
+                lib, h, "cm_clock_updates", lib.cm_clock_updates_len(h)
+            ),
+            "locals": _arr(lib, h, "cm_locals", lib.cm_locals_len(h) * 4),
+            "heap": _arr(lib, h, "cm_heap", lib.cm_heap_len(h) * 4),
+        }
+        out["locals"] = out["locals"].reshape(-1, 4)
+        out["heap"] = out["heap"].reshape(-1, 4)
+        return out
+    finally:
+        lib.cm_free(h)

@@ -82,8 +82,9 @@ class PublicData:
             acc = QZERO
             for j, v in enumerate(vals):
                 aj = rel.alpha_powers[j]
-                acc = qscalar_add(acc, tuple((x * v) % P for x in aj))
-            return tuple((a - z) % P for a, z in zip(acc, rel.z))
+                vi = int(v)  # guard against numpy scalar overflow
+                acc = qscalar_add(acc, tuple((int(x) * vi) % P for x in aj))
+            return tuple((int(a) - int(z)) % P for a, z in zip(acc, rel.z))
 
         terms = []  # (sign, denom)
         terms.append((1, comb(relations.registers, [self.initial_registers[0], self.initial_registers[1], 1])))
