@@ -60,11 +60,12 @@ def available() -> bool:
         return False
 
 
-def _arr(lib, h, fn, n):
+def _arr(lib, h, fn, n, copy):
     ptr = getattr(lib, fn)(h)
     if n == 0:
         return np.zeros(0, dtype=np.uint32)
-    return np.ctypeslib.as_array(ptr, shape=(n,)).copy()
+    view = np.ctypeslib.as_array(ptr, shape=(n,))
+    return view.copy() if copy else view
 
 
 ERRORS = {
@@ -78,8 +79,14 @@ ERRORS = {
 
 
 def run_raw(program_words: np.ndarray, entry_pc: int, fp_offset: int,
-            args: np.ndarray, ret_slots: int, max_steps: int):
-    """-> dict of raw result arrays.  program_words: (n, 4) uint32."""
+            args: np.ndarray, ret_slots: int, max_steps: int,
+            copy: bool = True):
+    """-> dict of raw result arrays.  program_words: (n, 4) uint32.
+
+    With copy=False the arrays are zero-copy views into native buffers —
+    cheaper by a full touch of the bundle stream (the dominant cost on
+    lazily-backed VMs) — and the caller MUST call out["free"]() when done
+    with them (the native side pools the freed buffers for reuse)."""
     lib = _load()
     pw = np.ascontiguousarray(program_words, dtype=np.uint32)
     ar = np.ascontiguousarray(args, dtype=np.uint32)
@@ -97,19 +104,32 @@ def run_raw(program_words: np.ndarray, entry_pc: int, fp_offset: int,
             "n_steps": lib.cm_n_steps(h),
             "final_pc": lib.cm_final_pc(h),
             "final_fp": lib.cm_final_fp(h),
-            "bundles": _arr(lib, h, "cm_bundles", lib.cm_bundles_len(h)),
-            "final_mem": _arr(lib, h, "cm_final_mem", lib.cm_final_mem_len(h)),
+            "bundles": _arr(lib, h, "cm_bundles", lib.cm_bundles_len(h), copy),
+            "final_mem": _arr(
+                lib, h, "cm_final_mem", lib.cm_final_mem_len(h), copy
+            ),
             "initial_extra": _arr(
-                lib, h, "cm_initial_extra", lib.cm_initial_extra_len(h)
+                lib, h, "cm_initial_extra", lib.cm_initial_extra_len(h), copy
             ),
             "clock_updates": _arr(
-                lib, h, "cm_clock_updates", lib.cm_clock_updates_len(h)
+                lib, h, "cm_clock_updates", lib.cm_clock_updates_len(h), copy
             ),
-            "locals": _arr(lib, h, "cm_locals", lib.cm_locals_len(h) * 4),
-            "heap": _arr(lib, h, "cm_heap", lib.cm_heap_len(h) * 4),
+            "locals": _arr(lib, h, "cm_locals", lib.cm_locals_len(h) * 4, copy),
+            "heap": _arr(lib, h, "cm_heap", lib.cm_heap_len(h) * 4, copy),
         }
         out["locals"] = out["locals"].reshape(-1, 4)
         out["heap"] = out["heap"].reshape(-1, 4)
-        return out
-    finally:
+    except Exception:
         lib.cm_free(h)
+        raise
+    if copy:
+        lib.cm_free(h)
+        out["free"] = lambda: None
+    else:
+        freed = []
+        def _free(h=h, lib=lib):
+            if not freed:
+                freed.append(True)
+                lib.cm_free(h)
+        out["free"] = _free
+    return out

@@ -83,10 +83,13 @@ struct Memory {
   // setup): addresses below snapshot_len are preloaded at clock 0
   std::vector<QM31> snapshot;
   uint32_t snapshot_len = 0;
-  // adapter state: tracked (value, clock) per touched address
-  struct Cell { QM31 value; uint32_t clock; };
-  std::unordered_map<uint32_t, Cell> tracked;  // final-memory view
-  std::unordered_map<uint32_t, QM31> initial_extra;  // first-write adoptions
+  // adapter state: tracked (value, clock, touched) per address, flat arrays
+  // mirroring the locals/heap split (hash-free hot path).  Indices beyond
+  // the data arrays are legal (reads of never-written cells), so the
+  // tracked arrays grow independently with the same ld<hd heuristic.
+  struct Cell { QM31 value; uint32_t clock; uint32_t touched; };
+  std::vector<Cell> tracked_locals, tracked_heap;
+  std::vector<uint32_t> initial_extra;  // first-access adoptions: addr,v0..v3
   std::vector<uint32_t> clock_updates;  // addr, prev_clk, v0..v3 per entry
   // per-access outputs of push():
   uint32_t last_prev_clock;
@@ -113,26 +116,41 @@ struct Memory {
     }
   }
 
+  Cell* track_slot(uint32_t addr) {
+    uint32_t h = MAX_ADDRESS - addr;
+    if (addr < tracked_locals.size()) return &tracked_locals[addr];
+    if (h < tracked_heap.size()) return &tracked_heap[h];
+    uint64_t ld = (uint64_t)addr - tracked_locals.size();
+    uint64_t hd = (uint64_t)h - tracked_heap.size();
+    if (ld < hd) {
+      tracked_locals.resize(addr + 1, Cell{{{0, 0, 0, 0}}, 0, 0});
+      return &tracked_locals[addr];
+    }
+    tracked_heap.resize(h + 1, Cell{{{0, 0, 0, 0}}, 0, 0});
+    return &tracked_heap[h];
+  }
+
   // adapter push: record access, compute prev clock/value, clock updates
   // (python adapter.push semantics: snapshot cells are preloaded at clock 0
   // with their snapshot value; fresh cells adopt the accessed value)
   void push(uint32_t addr, QM31 value, uint32_t clock) {
-    auto it = tracked.find(addr);
+    Cell* cell = track_slot(addr);
     uint32_t prev_clk;
     QM31 prev_val;
-    if (it == tracked.end()) {
+    if (!cell->touched) {
       prev_clk = 0;
       if (addr < snapshot_len) {
         prev_val = snapshot[addr];
       } else {
         prev_val = value;  // first access adopts the value
-        initial_extra[addr] = value;
+        initial_extra.push_back(addr);
+        for (int k = 0; k < 4; k++) initial_extra.push_back(value.v[k]);
       }
     } else {
-      prev_clk = it->second.clock;
-      prev_val = it->second.value;
+      prev_clk = cell->clock;
+      prev_val = cell->value;
     }
-    tracked[addr] = Cell{value, clock};
+    *cell = Cell{value, clock, 1};
     uint32_t delta = clock - prev_clk;
     if (clock > prev_clk && delta > RC20_LIMIT) {
       uint32_t steps = (delta - 1) / RC20_LIMIT;
@@ -372,6 +390,11 @@ struct VM {
   }
 };
 
+// One freed RunResult is pooled so repeated runs (segment loops, benches)
+// reuse already-faulted pages: vector::clear keeps capacity, so the large
+// bundle buffer stays warm instead of being munmapped and re-faulted.
+RunResult* g_pool = nullptr;
+
 }  // namespace
 
 extern "C" {
@@ -382,7 +405,20 @@ extern "C" {
 void* cm_run(const uint32_t* program, uint64_t n_words, uint32_t entry_pc,
              uint32_t fp_offset, const uint32_t* args, uint32_t arg_count,
              uint32_t ret_slots, uint64_t max_steps) {
-  auto* out = new RunResult();
+  RunResult* out;
+  if (g_pool) {
+    out = g_pool;
+    g_pool = nullptr;
+    out->status = 0;
+    out->bundles.clear();
+    out->final_mem.clear();
+    out->initial_extra.clear();
+    out->clock_updates.clear();
+    out->final_locals.clear();
+    out->final_heap.clear();
+  } else {
+    out = new RunResult();
+  }
   VM vm;
   vm.out = out;
   vm.mem.locals.resize(n_words);
@@ -414,16 +450,22 @@ void* cm_run(const uint32_t* program, uint64_t n_words, uint32_t entry_pc,
   out->n_steps = steps;
   out->final_pc = vm.pc;
   out->final_fp = vm.fp;
-  // final memory table from tracked cells
-  for (auto& kv : vm.mem.tracked) {
-    out->final_mem.push_back(kv.first);
-    for (int k = 0; k < 4; k++) out->final_mem.push_back(kv.second.value.v[k]);
-    out->final_mem.push_back(kv.second.clock);
+  // final memory table from tracked cells (flat locals + heap sides)
+  for (uint32_t a = 0; a < vm.mem.tracked_locals.size(); a++) {
+    const auto& c = vm.mem.tracked_locals[a];
+    if (!c.touched) continue;
+    out->final_mem.push_back(a);
+    for (int k = 0; k < 4; k++) out->final_mem.push_back(c.value.v[k]);
+    out->final_mem.push_back(c.clock);
   }
-  for (auto& kv : vm.mem.initial_extra) {
-    out->initial_extra.push_back(kv.first);
-    for (int k = 0; k < 4; k++) out->initial_extra.push_back(kv.second.v[k]);
+  for (uint32_t h = 0; h < vm.mem.tracked_heap.size(); h++) {
+    const auto& c = vm.mem.tracked_heap[h];
+    if (!c.touched) continue;
+    out->final_mem.push_back(MAX_ADDRESS - h);
+    for (int k = 0; k < 4; k++) out->final_mem.push_back(c.value.v[k]);
+    out->final_mem.push_back(c.clock);
   }
+  out->initial_extra = std::move(vm.mem.initial_extra);
   out->clock_updates = std::move(vm.mem.clock_updates);
   out->final_locals = std::move(vm.mem.locals);
   out->final_heap = std::move(vm.mem.heap);
@@ -448,5 +490,20 @@ const uint32_t* cm_locals(void* h) { return (const uint32_t*)((RunResult*)h)->fi
 uint64_t cm_heap_len(void* h) { return ((RunResult*)h)->final_heap.size(); }
 const uint32_t* cm_heap(void* h) { return (const uint32_t*)((RunResult*)h)->final_heap.data(); }
 
-void cm_free(void* h) { delete (RunResult*)h; }
+// Pool (don't release) the freed result: its large buffers stay allocated
+// with warm pages for the next cm_run.  At most one result is pooled.
+void cm_free(void* h) {
+  auto* r = (RunResult*)h;
+  if (g_pool) {
+    // keep whichever holds the larger bundle buffer
+    if (r->bundles.capacity() > g_pool->bundles.capacity()) {
+      delete g_pool;
+      g_pool = r;
+    } else {
+      delete r;
+    }
+  } else {
+    g_pool = r;
+  }
+}
 }

@@ -30,7 +30,8 @@ def native_prover_input(program, entrypoint: str, args, max_steps=1 << 32):
     words = np.array(program.qm31_words(), dtype=np.uint32)
     fp_offset = M + K + 2
     raw = native.run_raw(
-        words, info.pc, fp_offset, np.array(args, np.uint32), K, max_steps
+        words, info.pc, fp_offset, np.array(args, np.uint32), K, max_steps,
+        copy=False,
     )
     n_words = len(words)
     new_fp = n_words + fp_offset
@@ -106,6 +107,8 @@ def native_prover_input(program, entrypoint: str, args, max_steps=1 << 32):
     clock_update_data = [
         (int(r[0]), int(r[1]), tuple(int(x) for x in r[2:6])) for r in cu
     ]
+    final_pc, final_fp = int(raw["final_pc"]), int(raw["final_fp"])
+    raw["free"]()  # all views consumed above; return buffers to native pool
 
     from .merkle import build_partial_merkle_tree
 
@@ -132,7 +135,7 @@ def native_prover_input(program, entrypoint: str, args, max_steps=1 << 32):
         final_memory=final_memory,
         clock_update_data=clock_update_data,
         initial_registers=(info.pc, new_fp),
-        final_registers=(int(raw["final_pc"]), int(raw["final_fp"])),
+        final_registers=(final_pc, final_fp),
         states_by_opcodes=states_by_opcodes,
         merkle_trees=MerkleTreesData(
             initial_nodes, final_nodes, initial_root, final_root
