@@ -29,7 +29,7 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from cairo_m_tpu.compiler import compile_cairo
     from cairo_m_tpu.isa.abi_codec import InputValue

@@ -66,26 +66,46 @@ def _g(v, a, b, c, d, x, y):
     v[b] = _rotr(v[b] ^ v[c], 7)
 
 
+def _compress_core(h, m, t_lo, t_hi, last_mask):
+    """Shared compression over traced inputs; the 10 rounds run as a
+    `lax.scan` over SIGMA so the compiled graph is one round (~70 uint32
+    primitives) instead of ten — XLA compile time is superlinear in graph
+    size, and Merkle commitment jits one hash kernel per level shape."""
+    import jax
+
+    v = list(h) + [jnp.uint32(iv) * jnp.ones_like(h[0]) for iv in IV]
+    v[12] = v[12] ^ t_lo
+    v[13] = v[13] ^ t_hi
+    v[14] = v[14] ^ last_mask
+    mstack = jnp.stack(list(m))  # (16, ...)
+
+    def round_body(vc, s):
+        w = list(vc)
+        mr = jnp.take(mstack, s, axis=0)
+        _g(w, 0, 4, 8, 12, mr[0], mr[1])
+        _g(w, 1, 5, 9, 13, mr[2], mr[3])
+        _g(w, 2, 6, 10, 14, mr[4], mr[5])
+        _g(w, 3, 7, 11, 15, mr[6], mr[7])
+        _g(w, 0, 5, 10, 15, mr[8], mr[9])
+        _g(w, 1, 6, 11, 12, mr[10], mr[11])
+        _g(w, 2, 7, 8, 13, mr[12], mr[13])
+        _g(w, 3, 4, 9, 14, mr[14], mr[15])
+        return tuple(w), None
+
+    vf, _ = jax.lax.scan(round_body, tuple(v), jnp.asarray(SIGMA))
+    return [h[i] ^ vf[i] ^ vf[i + 8] for i in range(8)]
+
+
 def compress(h, m, t: int, last: bool):
     """One BLAKE2s compression.  ``h``: list of 8 uint32 arrays; ``m``: list of
     16 uint32 arrays (the message block); ``t``: byte offset counter (static);
     ``last``: final-block flag (static)."""
-    v = list(h) + [jnp.uint32(iv) * jnp.ones_like(h[0]) for iv in IV]
-    v[12] = v[12] ^ jnp.uint32(t & 0xFFFFFFFF)
-    v[13] = v[13] ^ jnp.uint32((t >> 32) & 0xFFFFFFFF)
-    if last:
-        v[14] = v[14] ^ jnp.uint32(0xFFFFFFFF)
-    for r in range(10):
-        s = SIGMA[r]
-        _g(v, 0, 4, 8, 12, m[s[0]], m[s[1]])
-        _g(v, 1, 5, 9, 13, m[s[2]], m[s[3]])
-        _g(v, 2, 6, 10, 14, m[s[4]], m[s[5]])
-        _g(v, 3, 7, 11, 15, m[s[6]], m[s[7]])
-        _g(v, 0, 5, 10, 15, m[s[8]], m[s[9]])
-        _g(v, 1, 6, 11, 12, m[s[10]], m[s[11]])
-        _g(v, 2, 7, 8, 13, m[s[12]], m[s[13]])
-        _g(v, 3, 4, 9, 14, m[s[14]], m[s[15]])
-    return [h[i] ^ v[i] ^ v[i + 8] for i in range(8)]
+    return _compress_core(
+        h, m,
+        jnp.uint32(t & 0xFFFFFFFF),
+        jnp.uint32((t >> 32) & 0xFFFFFFFF),
+        jnp.uint32(0xFFFFFFFF if last else 0),
+    )
 
 
 def hash_words(cols):
@@ -142,20 +162,7 @@ def hash_words(cols):
 
 def compress_dyn(h, m, t, last):
     """Compression with traced t (uint32, < 2^32) and last flag (uint32 0/1)."""
-    v = list(h) + [jnp.uint32(iv) * jnp.ones_like(h[0]) for iv in IV]
-    v[12] = v[12] ^ t
-    v[14] = v[14] ^ (last * jnp.uint32(0xFFFFFFFF))
-    for r in range(10):
-        s_ = SIGMA[r]
-        _g(v, 0, 4, 8, 12, m[s_[0]], m[s_[1]])
-        _g(v, 1, 5, 9, 13, m[s_[2]], m[s_[3]])
-        _g(v, 2, 6, 10, 14, m[s_[4]], m[s_[5]])
-        _g(v, 3, 7, 11, 15, m[s_[6]], m[s_[7]])
-        _g(v, 0, 5, 10, 15, m[s_[8]], m[s_[9]])
-        _g(v, 1, 6, 11, 12, m[s_[10]], m[s_[11]])
-        _g(v, 2, 7, 8, 13, m[s_[12]], m[s_[13]])
-        _g(v, 3, 4, 9, 14, m[s_[14]], m[s_[15]])
-    return [h[i] ^ v[i] ^ v[i + 8] for i in range(8)]
+    return _compress_core(h, m, t, jnp.uint32(0), last * jnp.uint32(0xFFFFFFFF))
 
 
 def hash_words_np(cols) -> np.ndarray:

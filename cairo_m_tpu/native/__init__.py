@@ -75,6 +75,7 @@ ERRORS = {
     -5: "assertion failed",
     -6: "u32 limb out of range",
     -7: "memory error",
+    -8: "out of memory",
 }
 
 
@@ -96,6 +97,8 @@ def run_raw(program_words: np.ndarray, entry_pc: int, fp_offset: int,
         ar.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(ar),
         ret_slots, max_steps,
     )
+    if not h:
+        raise MemoryError("native VM: allocation failed (cm_run returned NULL)")
     try:
         status = lib.cm_status(h)
         if status != 0:

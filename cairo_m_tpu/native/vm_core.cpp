@@ -13,6 +13,8 @@
 #include <cstdint>
 #include <array>
 #include <cstring>
+#include <mutex>
+#include <new>
 #include <unordered_map>
 #include <vector>
 
@@ -22,6 +24,10 @@ constexpr uint64_t P = 0x7fffffffULL;          // 2^31 - 1
 constexpr uint32_t MAX_ADDRESS = (1u << 28) - 1;
 constexpr uint32_t RC20_LIMIT = (1u << 20) - 1;
 constexpr uint32_t U16_MASK = 0xffff;
+// Max dense-array growth per access: contiguous use (frames, inline arrays,
+// heap) stays dense; an isolated far-out address (e.g. from buggy pointer
+// arithmetic) falls back to the sparse maps instead of resizing to GBs.
+constexpr uint64_t GAP_CAP = 1ull << 22;
 
 struct QM31 {
   uint32_t v[4];
@@ -89,6 +95,9 @@ struct Memory {
   // tracked arrays grow independently with the same ld<hd heuristic.
   struct Cell { QM31 value; uint32_t clock; uint32_t touched; };
   std::vector<Cell> tracked_locals, tracked_heap;
+  // isolated far-out addresses (gap > GAP_CAP from both dense regions)
+  std::unordered_map<uint32_t, QM31> sparse_cells;
+  std::unordered_map<uint32_t, Cell> sparse_tracked;
   std::vector<uint32_t> initial_extra;  // first-access adoptions: addr,v0..v3
   std::vector<uint32_t> clock_updates;  // addr, prev_clk, v0..v3 per entry
   // per-access outputs of push():
@@ -99,15 +108,25 @@ struct Memory {
     if (addr < locals.size()) return locals[addr];
     uint32_t h = MAX_ADDRESS - addr;
     if (h < heap.size()) return heap[h];
+    if (!sparse_cells.empty()) {
+      auto it = sparse_cells.find(addr);
+      if (it != sparse_cells.end()) return it->second;
+    }
     return QM31{{0, 0, 0, 0}};
   }
   void set_cell(uint32_t addr, QM31 v) {
     if (addr < locals.size()) { locals[addr] = v; return; }
     uint32_t h = MAX_ADDRESS - addr;
     if (h < heap.size()) { heap[h] = v; return; }
+    if (!sparse_cells.empty()) {
+      auto it = sparse_cells.find(addr);
+      if (it != sparse_cells.end()) { it->second = v; return; }
+    }
     uint64_t ld = (uint64_t)addr - locals.size();
     uint64_t hd = (uint64_t)h - heap.size();
-    if (ld < hd) {
+    if (ld >= GAP_CAP && hd >= GAP_CAP) {
+      sparse_cells[addr] = v;
+    } else if (ld < hd) {
       locals.resize(addr + 1, QM31{{0, 0, 0, 0}});
       locals[addr] = v;
     } else {
@@ -120,8 +139,15 @@ struct Memory {
     uint32_t h = MAX_ADDRESS - addr;
     if (addr < tracked_locals.size()) return &tracked_locals[addr];
     if (h < tracked_heap.size()) return &tracked_heap[h];
+    if (!sparse_tracked.empty()) {
+      auto it = sparse_tracked.find(addr);
+      if (it != sparse_tracked.end()) return &it->second;
+    }
     uint64_t ld = (uint64_t)addr - tracked_locals.size();
     uint64_t hd = (uint64_t)h - tracked_heap.size();
+    if (ld >= GAP_CAP && hd >= GAP_CAP)
+      return &sparse_tracked.emplace(addr, Cell{{{0, 0, 0, 0}}, 0, 0})
+                  .first->second;
     if (ld < hd) {
       tracked_locals.resize(addr + 1, Cell{{{0, 0, 0, 0}}, 0, 0});
       return &tracked_locals[addr];
@@ -393,7 +419,9 @@ struct VM {
 // One freed RunResult is pooled so repeated runs (segment loops, benches)
 // reuse already-faulted pages: vector::clear keeps capacity, so the large
 // bundle buffer stays warm instead of being munmapped and re-faulted.
+// ctypes releases the GIL during calls, so pool take/put is mutex-guarded.
 RunResult* g_pool = nullptr;
+std::mutex g_pool_mu;
 
 }  // namespace
 
@@ -406,21 +434,32 @@ void* cm_run(const uint32_t* program, uint64_t n_words, uint32_t entry_pc,
              uint32_t fp_offset, const uint32_t* args, uint32_t arg_count,
              uint32_t ret_slots, uint64_t max_steps) {
   RunResult* out;
-  if (g_pool) {
+  {
+    std::lock_guard<std::mutex> lk(g_pool_mu);
     out = g_pool;
     g_pool = nullptr;
+  }
+  if (out) {
     out->status = 0;
     out->bundles.clear();
     out->final_mem.clear();
-    out->initial_extra.clear();
-    out->clock_updates.clear();
-    out->final_locals.clear();
-    out->final_heap.clear();
   } else {
-    out = new RunResult();
+    out = new (std::nothrow) RunResult();
+    if (!out) return nullptr;
   }
   VM vm;
   vm.out = out;
+  // adopt the pooled buffers so their capacity is actually reused (they are
+  // move-assigned back into `out` at the end of the run)
+  vm.mem.locals = std::move(out->final_locals);
+  vm.mem.locals.clear();
+  vm.mem.heap = std::move(out->final_heap);
+  vm.mem.heap.clear();
+  vm.mem.initial_extra = std::move(out->initial_extra);
+  vm.mem.initial_extra.clear();
+  vm.mem.clock_updates = std::move(out->clock_updates);
+  vm.mem.clock_updates.clear();
+  try {
   vm.mem.locals.resize(n_words);
   for (uint64_t i = 0; i < n_words; i++)
     std::memcpy(vm.mem.locals[i].v, program + 4 * i, 16);
@@ -465,10 +504,21 @@ void* cm_run(const uint32_t* program, uint64_t n_words, uint32_t entry_pc,
     for (int k = 0; k < 4; k++) out->final_mem.push_back(c.value.v[k]);
     out->final_mem.push_back(c.clock);
   }
+  for (const auto& [addr, c] : vm.mem.sparse_tracked) {
+    if (!c.touched) continue;
+    out->final_mem.push_back(addr);
+    for (int k = 0; k < 4; k++) out->final_mem.push_back(c.value.v[k]);
+    out->final_mem.push_back(c.clock);
+  }
   out->initial_extra = std::move(vm.mem.initial_extra);
   out->clock_updates = std::move(vm.mem.clock_updates);
   out->final_locals = std::move(vm.mem.locals);
   out->final_heap = std::move(vm.mem.heap);
+  } catch (const std::bad_alloc&) {
+    out->status = -8;  // out of memory (returned as a VM error, not a crash)
+    out->bundles.clear();
+    out->final_mem.clear();
+  }
   return out;
 }
 
@@ -494,16 +544,21 @@ const uint32_t* cm_heap(void* h) { return (const uint32_t*)((RunResult*)h)->fina
 // with warm pages for the next cm_run.  At most one result is pooled.
 void cm_free(void* h) {
   auto* r = (RunResult*)h;
-  if (g_pool) {
-    // keep whichever holds the larger bundle buffer
-    if (r->bundles.capacity() > g_pool->bundles.capacity()) {
-      delete g_pool;
-      g_pool = r;
+  RunResult* drop = nullptr;
+  {
+    std::lock_guard<std::mutex> lk(g_pool_mu);
+    if (g_pool) {
+      // keep whichever holds the larger bundle buffer
+      if (r->bundles.capacity() > g_pool->bundles.capacity()) {
+        drop = g_pool;
+        g_pool = r;
+      } else {
+        drop = r;
+      }
     } else {
-      delete r;
+      g_pool = r;
     }
-  } else {
-    g_pool = r;
   }
+  delete drop;
 }
 }

@@ -323,96 +323,50 @@ class Poseidon2Component(Component):
         return self
 
     def evaluate(self, ev):
-        """16-lane stacked evaluation: state lives as a raw (16, n) array and
-        every per-round constraint is one 16-lane stacked constraint, keeping
-        the composition kernel ~25x smaller than a per-lane formulation."""
-        from ..stark.air import Val
+        """Per-lane symbolic evaluation (pure Val DSL).
 
-        ops = ev.ops
-        xp = ops.xp
-        add, mul, sub = ops.badd, ops.bmul, ops.bsub
+        Runs unchanged in every backend mode — host scalars (OODS), host
+        arrays (trace check / interaction gen) and tape recording (device
+        composition).  Graph size no longer matters: the tape interpreter
+        executes recorded instructions, so the 443-column component costs
+        tape *length*, not XLA compile time."""
         prm = self.params
         enabler = ev.next_trace_mask()
         ev.add_constraint(enabler * (1 - enabler))
         initial_masks = ev.next_trace_masks(T)
         ev.add_to_relation(self.relations.poseidon2, -enabler, initial_masks)
-        state = xp.stack([xp.asarray(m.v) for m in initial_masks])  # (16, n)
-        en = xp.asarray(enabler.v)
-
-        def u32c(a):
-            return xp.asarray(np.asarray(a, dtype=np.uint32))
-
-        def ext_matrix(st):
-            g = st.reshape((4, 4) + st.shape[1:])
-            x0, x1, x2, x3 = g[:, 0], g[:, 1], g[:, 2], g[:, 3]
-            t0 = add(x0, x1)
-            t02 = add(t0, t0)
-            t1 = add(x2, x3)
-            t12 = add(t1, t1)
-            t2 = add(add(x1, x1), t1)
-            t3 = add(add(x3, x3), t0)
-            t4 = add(add(t12, t12), t3)
-            t5 = add(add(t02, t02), t2)
-            g = xp.stack([add(t3, t5), t5, add(t2, t4), t4], axis=1)
-            ssum = add(add(g[0], g[1]), add(g[2], g[3]))
-            g = add(g, ssum[None])
-            return g.reshape(st.shape)
-
-        state = ext_matrix(state)
+        state = _sym_external_matrix(initial_masks)
         for half in range(2):
             for r in range(FULL_ROUNDS // 2):
-                rc = u32c(prm.external_rc[half * (FULL_ROUNDS // 2) + r])
-                state = add(state, rc.reshape((T,) + (1,) * (state.ndim - 1)))
+                rc = prm.external_rc[half * (FULL_ROUNDS // 2) + r]
+                state = [state[i] + int(rc[i]) for i in range(T)]
                 pre = state
-                sq1 = xp.stack(
-                    [xp.asarray(m.v) for m in ev.next_trace_masks(T)]
+                sq1 = ev.next_trace_masks(T)
+                for i in range(T):
+                    ev.add_constraint(enabler * (pre[i] * pre[i] - sq1[i]))
+                sq2 = ev.next_trace_masks(T)
+                for i in range(T):
+                    ev.add_constraint(enabler * (sq1[i] * sq1[i] - sq2[i]))
+                expected = _sym_external_matrix(
+                    [sq2[i] * pre[i] for i in range(T)]
                 )
-                ev.add_constraint(
-                    Val(mul(en[None], sub(mul(pre, pre), sq1)), False, ops),
-                    lanes=T,
-                )
-                sq2 = xp.stack(
-                    [xp.asarray(m.v) for m in ev.next_trace_masks(T)]
-                )
-                ev.add_constraint(
-                    Val(mul(en[None], sub(mul(sq1, sq1), sq2)), False, ops),
-                    lanes=T,
-                )
-                expected = ext_matrix(mul(sq2, pre))
-                out = xp.stack(
-                    [xp.asarray(m.v) for m in ev.next_trace_masks(T)]
-                )
-                ev.add_constraint(
-                    Val(mul(en[None], sub(expected, out)), False, ops), lanes=T
-                )
+                out = ev.next_trace_masks(T)
+                for i in range(T):
+                    ev.add_constraint(enabler * (expected[i] - out[i]))
                 state = out
             if half == 0:
                 for r in range(PARTIAL_ROUNDS):
-                    s0 = add(state[0], u32c(prm.internal_rc[r]))
-                    sq1 = xp.asarray(ev.next_trace_mask().v)
-                    ev.add_constraint(
-                        Val(mul(en, sub(mul(s0, s0), sq1)), False, ops)
+                    s0 = state[0] + int(prm.internal_rc[r])
+                    sq1 = ev.next_trace_mask()
+                    ev.add_constraint(enabler * (s0 * s0 - sq1))
+                    sq2 = ev.next_trace_mask()
+                    ev.add_constraint(enabler * (sq1 * sq1 - sq2))
+                    sbox = ev.next_trace_mask()
+                    ev.add_constraint(enabler * (sq2 * s0 - sbox))
+                    state = _sym_internal_matrix(
+                        [sbox] + state[1:], prm.internal_diag
                     )
-                    sq2 = xp.asarray(ev.next_trace_mask().v)
-                    ev.add_constraint(
-                        Val(mul(en, sub(mul(sq1, sq1), sq2)), False, ops)
-                    )
-                    sbox = xp.asarray(ev.next_trace_mask().v)
-                    ev.add_constraint(
-                        Val(mul(en, sub(mul(sq2, s0), sbox)), False, ops)
-                    )
-                    state = xp.concatenate([sbox[None], state[1:]], axis=0)
-                    diag = u32c(prm.internal_diag)
-                    total = state[0]
-                    for i in range(1, T):
-                        total = add(total, state[i])
-                    state = add(
-                        mul(state, diag.reshape((T,) + (1,) * (state.ndim - 1))),
-                        total[None],
-                    )
-        ev.add_to_relation(
-            self.relations.poseidon2, enabler, [Val(state[0], False, ops)]
-        )
+        ev.add_to_relation(self.relations.poseidon2, enabler, [state[0]])
         ev.finalize_logup_in_pairs()
 
 

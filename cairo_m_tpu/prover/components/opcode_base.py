@@ -114,10 +114,12 @@ class GenericOpcodeComponent(Component):
         )
 
     def n_lookups(self):
-        size_qm31 = (self.isa.size + 3) // 4
-        # registers(2) + instruction pairs(2 per word) + rc20(inst)
-        # + per access: 2 memory + 1 rc20
-        return 2 + 2 * size_qm31 + 1 + 3 * len(self.spec.accesses)
+        # base formula (registers(2) + instruction pairs(2 per word) +
+        # rc20(inst) + per access 2 memory + 1 rc20) undercounts specs whose
+        # extra constraints add rc8/rc16/bitwise lookups — count by dry run.
+        from ..stark.air import count_lookups
+
+        return count_lookups(self)
 
     # ------------------------------------------------------------------
     # Witness generation from adapter bundles

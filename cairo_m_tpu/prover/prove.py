@@ -68,32 +68,43 @@ def _fftify(col_np, log_size):
     return domain.to_fft_order(jnp.asarray(col_np))
 
 
+def _qscalar_inv(v):
+    r = qinv_np(tuple(np.array([x], np.uint32) for x in v))
+    return tuple(int(x[0]) for x in r)
+
+
 def oods_point_and_prevs(channel, log_sizes):
-    """Draw t -> z; also z_prev per log size (z - trace step)."""
+    """Draw t -> z; also z_prev per log size (z - trace step).
+
+    Pure host scalar arithmetic — the device version dispatched ~750 tiny
+    eager ops (the Fermat inverse chain) over the accelerator tunnel."""
+    from .stark.fri import qscalar_add, qscalar_mul, qscalar_sub
+
     t = channel.draw_felt()
-    td = tuple(jnp.uint32(x) for x in t)
-    x, y = domain.qpoint_from_t(td)
-    z = (
-        tuple(int(np.asarray(c)) for c in x),
-        tuple(int(np.asarray(c)) for c in y),
-    )
+    one = (1, 0, 0, 0)
+    t2 = qscalar_mul(t, t)
+    dinv = _qscalar_inv(qscalar_add(one, t2))
+    zx = qscalar_mul(qscalar_sub(one, t2), dinv)
+    zy = qscalar_mul(qscalar_add(t, t), dinv)
+    z = (zx, zy)
     prevs = {}
     for l in set(log_sizes):
-        g = domain.point_at_index(domain.subgroup_gen_index(l))
-        gneg = domain.qpoint_at_index_embedded(0)  # placeholder
-        gx, gy = domain.point_neg(g)
-
-        def emb(c):
-            return (jnp.uint32(c), jnp.uint32(0), jnp.uint32(0), jnp.uint32(0))
-
-        zx = tuple(jnp.uint32(v) for v in z[0])
-        zy = tuple(jnp.uint32(v) for v in z[1])
-        px, py = domain.qpoint_add((zx, zy), (emb(gx), emb(gy)))
-        prevs[l] = (
-            tuple(int(np.asarray(c)) for c in px),
-            tuple(int(np.asarray(c)) for c in py),
+        gx, gy = domain.point_neg(
+            domain.point_at_index(domain.subgroup_gen_index(l))
         )
+        # z + (-g) over QM31 with a base-field point
+        px = qscalar_sub(
+            qscalar_mul_m31_t(zx, gx), qscalar_mul_m31_t(zy, gy)
+        )
+        py = qscalar_add(
+            qscalar_mul_m31_t(zx, gy), qscalar_mul_m31_t(zy, gx)
+        )
+        prevs[l] = (px, py)
     return z, prevs
+
+
+def qscalar_mul_m31_t(a, s: int):
+    return tuple((x * s) % P for x in a)
 
 
 def build_sample_points(comps: ComponentSet, z, z_prevs, pre_owners, max_elog):
@@ -116,6 +127,16 @@ def len_trace(comp):
     return comp.n_trace_cols
 
 
+import os as _os
+
+_DEBUG_PHASES = bool(_os.environ.get("CM_DEBUG_PHASES"))
+
+
+def _dbg(t0, msg):
+    if _DEBUG_PHASES:
+        print(f"[prove +{time.time()-t0:7.2f}s] {msg}", flush=True)
+
+
 def prove_cairo_m(prover_input, config=REGULAR_96_BITS, timing=None):
     t0 = time.time()
     channel = Blake2sChannel()
@@ -126,78 +147,80 @@ def prove_cairo_m(prover_input, config=REGULAR_96_BITS, timing=None):
 
     relations = Relations()
     comps = ComponentSet(relations)
+    _dbg(t0, "public data")
     comps.write_traces(prover_input)
+    _dbg(t0, "write_traces (host)")
 
     scheme = pcs.CommitmentSchemeProver(channel, config)
 
     # phase 0: preprocessed
     pre_cols, pre_owners = comps.preprocessed_columns()
     scheme.commit([(l, _fftify(c, l)) for l, c in pre_cols])
+    _dbg(t0, "phase0 commit")
 
-    # claim: mix log sizes; phase 1: trace
+    # claim: mix log sizes; phase 1: trace.  Each component's trace rows are
+    # uploaded once as a stacked device array, reused by the commit (FFT
+    # order is a pure device slicing) and by the witness tape kernels below.
     for comp in comps.all:
         channel.mix_u64(comp.log_size)
-    trace_cols, trace_owners = comps.trace_columns()
-    scheme.commit([(l, _fftify(c, l)) for l, c in trace_cols])
+    trace_stacks = [
+        jnp.asarray(np.stack(comp.trace_rows)) for comp in comps.all
+    ]
+    scheme.commit(
+        [
+            (comp.log_size, domain.to_fft_order(st))
+            for comp, st in zip(comps.all, trace_stacks)
+        ]
+    )
+    _dbg(t0, "phase1 trace commit")
     t_trace = time.time()
 
     # interaction PoW
     nonce = channel.grind(INTERACTION_POW_BITS)
     channel.mix_u64(nonce)
 
-    # relations + interaction traces
+    # relations + interaction traces (device tape path; columns stay stacked)
     relations.draw(channel)
     claimed_sums = []
-    inter_cols = []
-    for comp in comps.all:
+    inter_entries = []
+    for comp, st in zip(comps.all, trace_stacks):
         pp = comp.preprocessed_columns() if comp.n_preprocessed_cols else ()
-        cols, claimed = framework.gen_interaction_trace(comp, comp.trace_rows, pp)
-        comp.interaction_cols = cols
+        pre_stack = (
+            jnp.asarray(np.stack(pp))
+            if pp
+            else jnp.zeros((0, 1 << comp.log_size), jnp.uint32)
+        )
+        stacked, claimed = framework.gen_interaction_trace_device(
+            comp, st, pre_stack
+        )
         claimed_sums.append(claimed)
-        for pair in cols:
-            for limb in pair:
-                inter_cols.append((comp.log_size, limb))
+        inter_entries.append((comp.log_size, domain.to_fft_order(stacked)))
+    _dbg(t0, "interaction traces")
     channel.mix_felts(claimed_sums)
-    scheme.commit([(l, _fftify(c, l)) for l, c in inter_cols])
+    scheme.commit(inter_entries)
+    _dbg(t0, "phase2 commit")
     t_inter = time.time()
 
     # composition
     composition_coeff = channel.draw_felt()
-    trace_phase = scheme.phases[1]
-    inter_phase = scheme.phases[2]
-    pre_phase = scheme.phases[0]
-    # per-component stacked coefficient slices
-    trace_slices, inter_slices, pre_slices = [], [], []
-    ti = 0
-    for comp in comps.all:
-        trace_slices.append(trace_phase.coeff_slice(ti, comp.n_trace_cols))
-        ti += comp.n_trace_cols
-    ii = 0
-    for comp in comps.all:
-        k = 4 * comp.n_interaction_cols()
-        inter_slices.append(inter_phase.coeff_slice(ii, k))
-        ii += k
     pre_owner_map = {id(c): (s, n) for c, s, n in pre_owners}
-    for comp in comps.all:
-        if comp.n_preprocessed_cols:
-            s0, n0 = pre_owner_map[id(comp)]
-            pre_slices.append(pre_phase.coeff_slice(s0, n0))
-        else:
-            n_ = 1 << comp.log_size
-            pre_slices.append(jnp.zeros((0, n_), jnp.uint32))
     comp_evals, comp_elog = framework.compute_composition(
-        comps.all, relations, trace_slices, inter_slices, pre_slices,
-        claimed_sums, composition_coeff,
+        comps.all, relations,
+        scheme.phases[0], scheme.phases[1], scheme.phases[2],
+        pre_owner_map, claimed_sums, composition_coeff,
         blowup=config.fri_config.log_blowup_factor,
     )
+    _dbg(t0, "composition computed")
     # composition is a "trace" of log comp_elog committed with blowup
-    scheme.commit([(comp_elog, c) for c in comp_evals])
+    scheme.commit([(comp_elog, jnp.stack(comp_evals))])
+    _dbg(t0, "phase3 commit")
     t_comp = time.time()
 
     # OODS
     z, z_prevs = oods_point_and_prevs(channel, comps.log_sizes())
     sample_points = build_sample_points(comps, z, z_prevs, pre_owners, comp_elog)
     pcs_proof = scheme.prove_values(sample_points)
+    _dbg(t0, "pcs prove_values")
     t_end = time.time()
 
     if timing is not None:

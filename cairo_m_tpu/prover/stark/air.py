@@ -331,10 +331,8 @@ class EvalAtRow:
 
     # -- constraints / lookups --
 
-    def add_constraint(self, v: Val, lanes: int = 1):
-        """Add a constraint.  ``lanes > 1``: v's value arrays carry a leading
-        stacked axis of that many constraints (consecutive alpha powers)."""
-        self.constraints.append((v, lanes))
+    def add_constraint(self, v: Val):
+        self.constraints.append(v)
 
     def add_to_relation(self, relation: Relation, multiplicity: Val, values):
         self.relation_entries.append(RelationEntry(relation, multiplicity, list(values)))
@@ -408,3 +406,38 @@ def logup_shift_scalar(claimed_sum, log_size: int):
     """claimed_sum / 2^log_size as a host QM31 tuple."""
     inv2n = pow(1 << log_size, P - 2, P)
     return qscalar_mul_m31(claimed_sum, inv2n)
+
+
+_LOOKUP_COUNT_CACHE: dict = {}
+
+
+def count_lookups(comp) -> int:
+    """Number of relation entries comp.evaluate() emits, by dry-running it.
+
+    The single source of truth for interaction-column counts — a
+    hand-maintained formula drifts the moment a component adds a
+    range-check or bitwise lookup in its extra constraints."""
+    key = (type(comp).__name__, comp.name)
+    if key in _LOOKUP_COUNT_CACHE:
+        return _LOOKUP_COUNT_CACHE[key]
+    rel = comp.relations
+    saved = {id(r): (r.z, r.alpha_powers) for r in rel.all()}
+    for r in rel.all():
+        r.z = (0, 0, 0, 0)
+        r.alpha_powers = [(1, 0, 0, 0)] * r.arity
+    try:
+        z1 = np.zeros(1, np.uint32)
+        ev = EvalAtRow(
+            HostArrayOps,
+            lambda i, o: Val(z1, False, HostArrayOps),
+            lambda i, o: Val((z1, z1, z1, z1), True, HostArrayOps),
+            Val((z1, z1, z1, z1), True, HostArrayOps),
+            lambda i, o: Val(z1, False, HostArrayOps),
+        )
+        comp.evaluate(ev)
+        n = len(ev.relation_entries)
+    finally:
+        for r in rel.all():
+            r.z, r.alpha_powers = saved[id(r)]
+    _LOOKUP_COUNT_CACHE[key] = n
+    return n

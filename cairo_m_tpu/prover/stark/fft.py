@@ -138,3 +138,57 @@ def eval_at_qpoint(coeffs, log_size: int, qpoint):
         b = tuple(c.reshape(lead + (half, 2))[..., 1] for c in v)
         v = qadd(a, qmul(b, tws[j]))
     return tuple(c[..., 0] for c in v)
+
+
+def point_eval_twiddles_host(qpoint, log_size: int) -> np.ndarray:
+    """Host version of point_eval_twiddles for a *scalar* QM31 point:
+    returns a (log_size, 4) uint32 array [t_{L-1}, ..., t_0] — innermost fold
+    first, ready to feed `eval_at_qpoint_scan` as scan inputs."""
+    from .fri import qscalar_mul, qscalar_sub  # host scalar helpers
+
+    x, y = qpoint
+    x = tuple(int(v) for v in x)
+    y = tuple(int(v) for v in y)
+    tws = [y]
+    cur = x
+    for _ in range(log_size - 1):
+        tws.append(cur)
+        two = tuple((2 * v) % P for v in cur)
+        sq = qscalar_mul(two, cur)
+        cur = ((sq[0] - 1) % P,) + tuple(sq[1:])
+    return np.array(tws[::-1], dtype=np.uint32)
+
+
+def eval_at_qpoint_scan(coeffs, log_size: int, tws):
+    """Same evaluation with a fixed-shape `lax.scan` over fold levels, so the
+    compiled graph is one fold (~200 primitives) instead of log_size folds —
+    XLA compile time is superlinear in graph size.
+
+    ``tws``: (log_size, 4) device array from `point_eval_twiddles_host`.
+    Each step folds adjacent pairs of the live prefix and zero-pads the tail
+    (folding zeros is a no-op), keeping the carry shape static at
+    (..., 4, 2^L).  ~2x the FLOPs of the halving loop; negligible next to
+    compile time.
+    """
+    import jax
+
+    n = 1 << log_size
+    assert coeffs.shape[-1] == n
+    lead = coeffs.shape[:-1]
+    zero = jnp.zeros_like(coeffs)
+    v = jnp.stack([coeffs, zero, zero, zero], axis=-2)  # (..., 4, n)
+
+    def body(v, t):
+        a = v[..., 0::2]
+        b = v[..., 1::2]
+        tq = tuple(t[k] for k in range(4))
+        f = qadd(
+            tuple(a[..., k, :] for k in range(4)),
+            qmul(tuple(b[..., k, :] for k in range(4)), tq),
+        )
+        f = jnp.stack(f, axis=-2)  # (..., 4, n/2)
+        v = jnp.concatenate([f, jnp.zeros_like(f)], axis=-1)
+        return v, None
+
+    v, _ = jax.lax.scan(body, v, tws)
+    return tuple(v[..., k, 0] for k in range(4))

@@ -124,52 +124,166 @@ def _cumsum_mod(x: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Composition (device)
+# Interaction trace generation (device, tape-compiled)
 # ---------------------------------------------------------------------------
-# Per-component contribution kernels are jitted once per (component class,
-# log_size, blowup); the relation parameters, logup shift and random coeff
-# are traced *arguments* so new proofs hit the jit cache.
+# The host path above is kept as the golden reference / debug tool; the
+# prover uses this device path: entry numerators/denominators evaluate via
+# the tape interpreter on the base domain, then batched QM31 inversion,
+# pair fractions, within-row prefix columns and the shifted row-cumulative
+# last column run as two jitted kernels.  Entries are recorded in chunks so
+# the interpreter's output register block stays small.
+
+_ENTRY_CHUNK = 8
+
+
+def record_entries_tape(comp, chunk_size=_ENTRY_CHUNK):
+    """Record comp's relation entries into chunked base-domain tapes.
+
+    -> ([(tape, n_regs, consts, scratch, bank, n_entries_in_chunk)], E).
+    Each chunk's tape outputs are, per entry: numerator limbs 0-3 then
+    denominator limbs 0-3 (8 registers per entry).
+    """
+    from .tape import TapeOps, TapeRecorder, pack_tape
+
+    rec = TapeRecorder()
+    ops = TapeOps(rec)
+
+    def tg(idx, offset):
+        return Val(rec.bank_src("t", idx, offset), False, ops)
+
+    def pg(idx, offset):
+        return Val(rec.bank_src("p", idx, offset), False, ops)
+
+    def ig(idx, offset):  # pragma: no cover - collect_only skips finalize
+        raise AssertionError("interaction columns not available while recording")
+
+    shift = Val(ops.econst((0, 0, 0, 0)), True, ops)
+    ev = EvalAtRow(ops, tg, ig, shift, pg)
+    ev.collect_only = True
+    comp.evaluate(ev)
+    entries = ev.relation_entries
+    per_entry = [
+        list(e.multiplicity.as_ext().v) + list(e.relation.combine(e.values).v)
+        for e in entries
+    ]
+    chunks = []
+    for c0 in range(0, len(per_entry), chunk_size):
+        sel = per_entry[c0 : c0 + chunk_size]
+        outputs = [s for group in sel for s in group]
+        tape, n_regs, consts, scratch, used = pack_tape(rec, outputs)
+        bank = [rec.bank[i] for i in used]
+        chunks.append((tape, n_regs, consts, scratch, bank, len(sel)))
+    return chunks, len(entries)
+
+
+from functools import lru_cache as _lru_cache
+
+from ...field.qm31 import qinv as _qinv_dev, qmul as _qmul_dev
+
+
+@_lru_cache(maxsize=None)
+def _logup_prefix_kernel(E: int, log_size: int):
+    """(8E, n) entry numer/denom rows -> (ceil(E/2), 4, n) within-row
+    prefix sums of the pair fractions."""
+    import jax
+
+    n = 1 << log_size
+
+    def f(outs):
+        x = outs.reshape(E, 2, 4, n)
+        numer = tuple(x[:, 0, k, :] for k in range(4))
+        denom = tuple(x[:, 1, k, :] for k in range(4))
+        fr = _qmul_dev(numer, _qinv_dev(denom))
+        fr = jnp.stack(fr, axis=1)  # (E, 4, n)
+        if E % 2:
+            fr = jnp.concatenate(
+                [fr, jnp.zeros((1, 4, n), jnp.uint32)], axis=0
+            )
+        pairs = m31.add(fr[0::2], fr[1::2])
+        return jax.lax.associative_scan(m31.add, pairs, axis=0)
+
+    return jax.jit(f)
+
+
+@_lru_cache(maxsize=None)
+def _logup_last_kernel(log_size: int):
+    """(4, n) row totals -> (shifted cumulative last column (4, n),
+    claimed sum (4,))."""
+    import jax as _jax
+
+    inv2n = pow(1 << log_size, P - 2, P)
+
+    def f(row_total):
+        total = jnp.stack(
+            [m31.sum_mod(row_total[k], axis=0) for k in range(4)]
+        )
+        shift = m31.mul(total, jnp.uint32(inv2n))
+        shifted = m31.sub(row_total, shift[:, None])
+        last = _jax.lax.associative_scan(m31.add, shifted, axis=1)
+        return last, total
+
+    return jax.jit(f)
+
+
+def gen_interaction_trace_device(comp, trace_stack, pre_stack):
+    """Device path of gen_interaction_trace.
+
+    ``trace_stack``/``pre_stack``: (k, 2^log_size) device uint32 stacks of
+    the component's trace / preprocessed rows (row order).
+    -> (cols [n_pairs][4 limb (n,) device arrays], claimed_sum host tuple).
+    """
+    from .tape import run_tape
+
+    l = comp.log_size
+    n = 1 << l
+    chunks, E = record_entries_tape(comp)
+    kt = int(trace_stack.shape[0])
+    outs = []
+    for tape, n_regs, consts, scratch, bank, ce in chunks:
+        src = np.zeros(len(bank), np.int32)
+        sh = np.zeros(len(bank), np.uint32)
+        for j, (kind, idx, off) in enumerate(bank):
+            src[j] = idx if kind == "t" else kt + idx
+            sh[j] = off % n
+        outs.append(
+            run_tape(
+                (trace_stack, pre_stack), src, sh, consts, tape,
+                n_regs, scratch, l, fft_order=False, n_out=8 * ce,
+            )
+        )
+    outs = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    prefix = _logup_prefix_kernel(E, l)(outs)
+    n_pairs = (E + 1) // 2
+    row_total = prefix[n_pairs - 1]
+    last, total = _logup_last_kernel(l)(row_total)
+    claimed = tuple(int(x) for x in np.asarray(total))
+    # stacked interaction limb columns: pair0 limb0-3, pair1 limb0-3, ...
+    # (kept stacked — per-column slicing costs one eager compile per index)
+    stacked = jnp.concatenate(
+        [prefix[: n_pairs - 1].reshape((n_pairs - 1) * 4, n), last], axis=0
+    )
+    return stacked, claimed
+
+
+# ---------------------------------------------------------------------------
+# Composition (device, tape-compiled)
+# ---------------------------------------------------------------------------
+# XLA compile time is superlinear in graph size, so per-component symbolic
+# graphs are unusable on TPU (see stark/tape.py).  Each component's
+# constraints are instead *recorded* per proof into a linear instruction
+# tape executed by one generic jitted interpreter whose compile cost is
+# O(1) in the number of components/constraints.
 
 import jax
 
-# jit per-component composition kernels (best for TPU / repeated shapes).
-# Eager mode avoids XLA's slow compiles of huge modular-arithmetic graphs —
-# the right default for CPU tests; flip on for TPU benching.
-JIT_COMPONENTS = True
+from .tape import TapeOps, TapeRecorder, pack_tape, run_tape
 
-_COMP_FN_CACHE: dict = {}
 _COUNT_CACHE: dict = {}
 
 
-def _relations_pytree(relations):
-    return {
-        r.name: (
-            jnp.asarray(np.array(r.z, np.uint32)),
-            jnp.asarray(np.array(r.alpha_powers, np.uint32)),
-        )
-        for r in relations.all()
-    }
-
-
-def _bind_relations(relations, tree):
-    saved = {}
-    for r in relations.all():
-        saved[r.name] = (r.z, r.alpha_powers)
-        z_arr, a_arr = tree[r.name]
-        r.z = tuple(z_arr[k] for k in range(4))
-        r.alpha_powers = [
-            tuple(a_arr[j, k] for k in range(4)) for j in range(r.arity)
-        ]
-    return saved
-
-
-def _restore_relations(relations, saved):
-    for r in relations.all():
-        r.z, r.alpha_powers = saved[r.name]
-
-
 def count_constraints(comp) -> int:
-    key = (type(comp).__name__, comp.log_size)
+    # comp.name (not just the class) — all opcode components share one class
+    key = (type(comp).__name__, comp.name, comp.log_size)
     if key in _COUNT_CACHE:
         return _COUNT_CACHE[key]
     rel = comp.relations
@@ -187,111 +301,50 @@ def count_constraints(comp) -> int:
             lambda i, o: Val(z1, False, HostArrayOps),
         )
         comp.evaluate(ev)
-        n = sum(lanes for _, lanes in ev.constraints)
+        n = len(ev.constraints)
     finally:
-        _restore_relations(rel, saved)
+        for r in rel.all():
+            r.z, r.alpha_powers = saved[r.name]
     _COUNT_CACHE[key] = n
     return n
 
 
-def _component_contrib_fn(comp, blowup: int):
-    """Jitted f(tco, ico, pco, rel_tree, shift4, alpha4, vinv) ->
-    4 x (n_ext,) contribution arrays (row order, divided by V)."""
-    key = (type(comp).__name__, comp.log_size, blowup)
-    if key in _COMP_FN_CACHE:
-        return _COMP_FN_CACHE[key]
-    l = comp.log_size
-    elog = l + blowup
-    roll = 1 << blowup
+def record_component_tape(comp, claimed_sum, random_coeff):
+    """Record comp.evaluate() + the alpha accumulation chain + the vanishing
+    division into a tape.  Returns (tape, n_regs, consts, bank) where bank
+    lists the referenced (kind, column, row_offset) masks, kind in
+    {'t','i','p','v'}."""
+    rec = TapeRecorder()
+    ops = TapeOps(rec)
 
-    def f(tco, ico, pco, rel_tree, shift4, alpha4, vinv):
-        saved = _bind_relations(comp.relations, rel_tree)
-        try:
-            text = domain.from_fft_order(
-                fft.fft(fft.embed_coeffs(tco, l, elog), elog)
-            )
-            iext = (
-                domain.from_fft_order(
-                    fft.fft(fft.embed_coeffs(ico, l, elog), elog)
-                )
-                if ico.shape[0]
-                else ico
-            )
-            pext = (
-                domain.from_fft_order(
-                    fft.fft(fft.embed_coeffs(pco, l, elog), elog)
-                )
-                if pco.shape[0]
-                else pco
-            )
+    def tg(idx, offset):
+        return Val(rec.bank_src("t", idx, offset), False, ops)
 
-            def tg(idx, offset):
-                col = text[idx]
-                if offset:
-                    # trace offset -k = index offset -k*blowup; previous row
-                    # values sit at roll(+k*blowup)
-                    col = jnp.roll(col, -roll * offset)
-                return Val(col, False, DeviceOps)
+    def ig(idx, offset):
+        return Val(
+            tuple(rec.bank_src("i", 4 * idx + k, offset) for k in range(4)),
+            True,
+            ops,
+        )
 
-            def ig(idx, offset):
-                limbs = tuple(iext[4 * idx + k] for k in range(4))
-                if offset:
-                    limbs = tuple(jnp.roll(x, -roll * offset) for x in limbs)
-                return Val(limbs, True, DeviceOps)
+    def pg(idx, offset):
+        return Val(rec.bank_src("p", idx, offset), False, ops)
 
-            def pg(idx, offset):
-                return Val(pext[idx], False, DeviceOps)
-
-            shift_val = Val(tuple(shift4[k] for k in range(4)), True, DeviceOps)
-            ev = EvalAtRow(DeviceOps, tg, ig, shift_val, pg)
-            comp.evaluate(ev)
-            # alpha chain: acc = acc*alpha + C_k, respecting multi-lane
-            # (stacked) constraints, which fold via a lax.scan (one-qmul
-            # graph regardless of lane count).
-            from ...field.qm31 import qmul as _qmul, qadd as _qadd
-
-            n_ext = 1 << elog
-            alpha_t = tuple(alpha4[k] for k in range(4))
-
-            def scan_lanes(acc, stacked):
-                # stacked: (m, 4, n_ext); acc: 4-tuple or None
-                def chain(a, ck):
-                    prod = _qmul(tuple(a[k] for k in range(4)), alpha_t)
-                    new = _qadd(prod, tuple(ck[k] for k in range(4)))
-                    return jnp.stack(new), None
-
-                if acc is None:
-                    init = stacked[0]
-                    rest = stacked[1:]
-                else:
-                    init = jnp.stack(
-                        _qadd(_qmul(acc, alpha_t), tuple(stacked[0][k] for k in range(4)))
-                    )
-                    rest = stacked[1:]
-                out, _ = jax.lax.scan(chain, init, rest)
-                return tuple(out[k] for k in range(4))
-
-            accf = None
-            for c, lanes in ev.constraints:
-                ce = c.as_ext().v
-                if lanes == 1:
-                    ce = tuple(jnp.broadcast_to(x, (n_ext,)) for x in ce)
-                    accf = (
-                        ce if accf is None else _qadd(_qmul(accf, alpha_t), ce)
-                    )
-                else:
-                    # ce limbs have shape (lanes, n_ext)
-                    stacked = jnp.stack(
-                        [jnp.broadcast_to(x, (lanes, n_ext)) for x in ce], axis=1
-                    )  # (lanes, 4, n_ext)
-                    accf = scan_lanes(accf, stacked)
-            return tuple(m31.mul(accf[k], vinv) for k in range(4))
-        finally:
-            _restore_relations(comp.relations, saved)
-
-    fn = jax.jit(f) if JIT_COMPONENTS else f
-    _COMP_FN_CACHE[key] = fn
-    return fn
+    shift = Val(
+        ops.econst(logup_shift_scalar(claimed_sum, comp.log_size)), True, ops
+    )
+    ev = EvalAtRow(ops, tg, ig, shift, pg)
+    comp.evaluate(ev)
+    alpha = ops.econst(random_coeff)
+    acc = None
+    for c in ev.constraints:
+        ce = c.as_ext().v
+        acc = ce if acc is None else ops.eadd(ops.emul(acc, alpha), ce)
+    vinv = rec.bank_src("v", 0, 0)
+    out = ops.emul_b(acc, vinv)
+    tape, n_regs, consts, scratch, used = pack_tape(rec, out)
+    bank = [rec.bank[i] for i in used]
+    return tape, n_regs, consts, scratch, bank
 
 
 @jax.jit
@@ -323,35 +376,67 @@ def _qmul_limbs(a, b):
 
 
 def compute_composition(
-    components, relations, trace_slices, inter_slices, pre_slices,
-    claimed_sums, random_coeff, blowup=1,
+    components, relations, pre_phase, trace_phase, inter_phase,
+    pre_owner_map, claimed_sums, random_coeff, blowup=1,
 ):
     """-> (composition 4-limb tuple in fft order, log size max+blowup).
 
-    trace_slices / inter_slices / pre_slices: per component, stacked device
-    coefficient arrays of shape (k, 2^log_size) (k may be 0).
+    The three phases are `pcs.CommitmentPhase` objects whose FFT-order
+    extended column stacks (``stacked_ext``, computed once during commit)
+    are reused directly — no per-component LDE.  ``pre_owner_map``:
+    ``{id(comp): (global pre column start, count)}``.
     """
-    rel_tree = _relations_pytree(relations)
-    alpha4 = jnp.asarray(np.array(random_coeff, np.uint32))
     counts = [count_constraints(c) for c in components]
     max_elog = max(c.log_size for c in components) + blowup
     total = None
+    ti = ii = 0
+    zero_stack_cache = {}
     for i, comp in enumerate(components):
         l = comp.log_size
         elog = l + blowup
-        shift4 = jnp.asarray(
-            np.array(logup_shift_scalar(claimed_sums[i], l), np.uint32)
+        n = 1 << elog
+        tape, n_regs, consts, scratch, bank = record_component_tape(
+            comp, claimed_sums[i], random_coeff
         )
+        text = trace_phase.stacked_ext[elog]
+        iext = inter_phase.stacked_ext[elog]
+        pext = pre_phase.stacked_ext.get(elog)
+        if pext is None:
+            pext = zero_stack_cache.get(elog)
+            if pext is None:
+                pext = jnp.zeros((0, n), jnp.uint32)
+                zero_stack_cache[elog] = pext
+        Kt, Ki, Kp = int(text.shape[0]), int(iext.shape[0]), int(pext.shape[0])
+        pre_start = pre_owner_map.get(id(comp), (0, 0))[0]
+        roll = 1 << blowup
+        src = np.zeros(len(bank), np.int32)
+        sh = np.zeros(len(bank), np.uint32)
+        for j, (kind, idx, offset) in enumerate(bank):
+            if kind == "t":
+                _, pos = trace_phase.group_index[ti + idx]
+                src[j] = pos
+            elif kind == "i":
+                _, pos = inter_phase.group_index[ii + idx]
+                src[j] = Kt + pos
+            elif kind == "p":
+                _, pos = pre_phase.group_index[pre_start + idx]
+                src[j] = Kt + Ki + pos
+            else:  # vanishing inverse row
+                src[j] = Kt + Ki + Kp
+            sh[j] = (roll * offset) % n
         _, vinv = domain.vanishing_on_domain(l, elog)
-        fn = _component_contrib_fn(comp, blowup)
-        contrib = fn(
-            trace_slices[i], inter_slices[i], pre_slices[i],
-            rel_tree, shift4, alpha4, jnp.asarray(vinv),
+        vrow = jnp.asarray(domain.to_fft_order(vinv)[None])
+        out = run_tape(
+            (text, iext, pext, vrow), src, sh, consts, tape, n_regs,
+            scratch, elog,
         )
+        contrib = tuple(out[k] for k in range(4))
         after = sum(counts[i + 1 :])
         w4 = jnp.asarray(np.array(_qpow_scalar(random_coeff, after), np.uint32))
         co = _contrib_to_coeffs(elog, max_elog)(contrib, w4)
         total = co if total is None else _accumulate_coeffs(total, co)
+        ti += comp.n_trace_cols
+        ii += 4 * comp.n_interaction_cols()
     comp_evals = tuple(fft.fft(c, max_elog) for c in total)
     return comp_evals, max_elog
 
@@ -427,25 +512,13 @@ def evaluate_at_point(
         ev = EvalAtRow(HostArrayOps, tg, ig, shift, pg)
         comp.evaluate(ev)
         acc = None
-        n_constraints = 0
-        for c, lanes in ev.constraints:
+        for c in ev.constraints:
             ce_limbs = c.as_ext().v
-            n_constraints += lanes
-            if lanes == 1:
-                ce = tuple(int(np.asarray(x).reshape(-1)[0]) for x in ce_limbs)
-                acc = ce if acc is None else qscalar_add(
-                    qscalar_mul(acc, random_coeff), ce
-                )
-            else:
-                for j in range(lanes):
-                    ce = tuple(
-                        int(np.broadcast_to(np.asarray(x), (lanes, 1))[j, 0])
-                        for x in ce_limbs
-                    )
-                    acc = ce if acc is None else qscalar_add(
-                        qscalar_mul(acc, random_coeff), ce
-                    )
-        counts.append(n_constraints)
+            ce = tuple(int(np.asarray(x).reshape(-1)[0]) for x in ce_limbs)
+            acc = ce if acc is None else qscalar_add(
+                qscalar_mul(acc, random_coeff), ce
+            )
+        counts.append(len(ev.constraints))
         vinv = _qscalar_inv(z_values[ci])
         contribs.append(qscalar_mul(acc, vinv))
     total = QZERO
@@ -508,13 +581,11 @@ def assert_constraints(component, trace_rows, interaction_cols, claimed_sum,
     ev = EvalAtRow(HostArrayOps, tg, ig, shift, pg)
     component.evaluate(ev)
     failures = []
-    k = 0
-    for c, lanes in ev.constraints:
+    for k, c in enumerate(ev.constraints):
         v = c.as_ext().v
         bad = np.nonzero(
             (v[0] != 0) | (v[1] != 0) | (v[2] != 0) | (v[3] != 0)
         )
         if bad[0].size:
-            failures.append((k + (int(bad[0][0]) if lanes > 1 else 0), int(bad[-1][0])))
-        k += lanes
+            failures.append((k, int(bad[-1][0])))
     return failures

@@ -30,16 +30,19 @@ from ...hash import blake2s
 
 # One jitted hash per level: shapes (n_words, n) repeat across levels and
 # trees, so the jit cache amortizes; a whole-pyramid jit would be a single
-# ~15k-op graph that XLA:CPU compiles for minutes.
-_hash_leaf = jax.jit(lambda stacked: tuple(blake2s.hash_words(list(stacked))))
+# huge graph with superlinear XLA compile time.  Levels are kept as stacked
+# (8, m) digest arrays so openings are single device gathers.
+_hash_leaf = jax.jit(
+    lambda stacked: jnp.stack(blake2s.hash_words(list(stacked)))
+)
 
 
 @jax.jit
 def _hash_inner(digests):
-    msg = [w.reshape(-1, 2)[:, 0] for w in digests] + [
-        w.reshape(-1, 2)[:, 1] for w in digests
+    msg = [digests[w].reshape(-1, 2)[:, 0] for w in range(8)] + [
+        digests[w].reshape(-1, 2)[:, 1] for w in range(8)
     ]
-    return tuple(blake2s.hash_words(msg))
+    return jnp.stack(blake2s.hash_words(msg))
 
 
 class MerkleTree:
@@ -56,13 +59,11 @@ class MerkleTree:
         self.log_size = n.bit_length() - 1
         assert 1 << self.log_size == n
         digests = _hash_leaf(stacked)
-        self.levels = [list(digests)]
-        while int(digests[0].shape[0]) > 1:
-            digests = _hash_inner(tuple(digests))
-            self.levels.append(list(digests))
-        self._root = b"".join(
-            int(np.asarray(w)[0]).to_bytes(4, "little") for w in self.levels[-1]
-        )
+        self.levels = [digests]  # (8, m) per level
+        while int(digests.shape[1]) > 1:
+            digests = _hash_inner(digests)
+            self.levels.append(digests)
+        self._root = np.asarray(self.levels[-1][:, 0]).astype("<u4").tobytes()
 
     def root(self) -> bytes:
         return self._root
@@ -94,24 +95,32 @@ class MerkleDecommitment:
 
 
 def decommit(tree: MerkleTree, positions) -> MerkleDecommitment:
+    """Open sorted positions.  Only the opened values and the needed sibling
+    digests move device->host (gathers) — never whole columns or levels."""
     positions = sorted(set(int(p) for p in positions))
-    cols_host = [np.asarray(c) for c in tree.columns]
-    values = [{p: int(c[p]) for p in positions} for c in cols_host]
-    levels_host = [
-        np.stack([np.asarray(w) for w in ws], axis=1) for ws in tree.levels
+    pos_arr = jnp.asarray(np.array(positions, np.int32))
+    opened = np.asarray(jnp.take(tree.columns, pos_arr, axis=1))  # (K, P)
+    values = [
+        {p: int(opened[ci, j]) for j, p in enumerate(positions)}
+        for ci in range(opened.shape[0])
     ]
     siblings = []
     cur = positions
     for lvl in range(len(tree.levels) - 1):
         cur_set = set(cur)
+        sibs = [p ^ 1 for p in cur if (p ^ 1) not in cur_set]
         parents = []
         for p in cur:
-            sib = p ^ 1
-            if sib not in cur_set:
-                siblings.append(levels_host[lvl][sib].astype("<u4").tobytes())
             par = p >> 1
             if not parents or parents[-1] != par:
                 parents.append(par)
+        if sibs:
+            sib_arr = jnp.asarray(np.array(sibs, np.int32))
+            words = np.asarray(
+                jnp.take(tree.levels[lvl], sib_arr, axis=1)
+            )  # (8, S)
+            for j in range(words.shape[1]):
+                siblings.append(words[:, j].astype("<u4").tobytes())
         cur = parents
     return MerkleDecommitment(values, siblings)
 

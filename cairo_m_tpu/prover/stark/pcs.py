@@ -32,12 +32,16 @@ from . import domain, fft, fri, merkle, quotients
 
 @lru_cache(maxsize=None)
 def _commit_pipeline(trace_log: int, commit_log: int):
-    """Jitted: (k, 2^trace_log) fft-order stack -> (coeffs, commit-order LDE)."""
+    """Jitted: (k, 2^trace_log) fft-order stack ->
+    (coeffs, fft-order LDE, commit-order LDE).
+
+    The fft-order LDE is kept on the phase so the composition tape kernels
+    (stark/tape.py) reuse it instead of re-extending columns."""
 
     def f(stacked):
         coeffs = fft.ifft(stacked, trace_log)
         ext = fft.fft(fft.embed_coeffs(coeffs, trace_log, commit_log), commit_log)
-        return coeffs, domain.bit_reverse(ext, commit_log)
+        return coeffs, ext, domain.bit_reverse(ext, commit_log)
 
     return jax.jit(f)
 
@@ -76,35 +80,48 @@ class CommitmentPhase:
     one Merkle tree per group."""
 
     def __init__(self, columns_fft, log_blowup: int):
-        """columns_fft: list of (trace_log_size, fft-order M31 evals).
+        """columns_fft: list of (trace_log_size, fft-order M31 evals) —
+        1-D entries are single columns, 2-D entries are (k, n) stacks of k
+        columns of that log size (the fast path: per-column device slicing
+        costs one XLA eager compile *per index*, so callers keep columns
+        stacked end-to-end).
 
         Each column is LDE'd by the blowup and committed on the extended
         domain.  The *commit log size* of a column = trace_log + blowup.
         """
-        self.trace_logs = [int(l) for l, _ in columns_fft]
-        self.commit_logs = [l + log_blowup for l in self.trace_logs]
+        self.trace_logs = []
         # group columns by trace log (stable order within group)
         self.group_index = {}  # column index -> (trace_log, position in group)
         groups: dict[int, list] = {}
-        for ci, (l, col) in enumerate(columns_fft):
-            groups.setdefault(l, []).append((ci, col))
+        counts: dict[int, int] = {}
+        for l, arr in columns_fft:
+            l = int(l)
+            arr2 = arr[None] if arr.ndim == 1 else arr
+            k = int(arr2.shape[0])
+            base = counts.get(l, 0)
+            for j in range(k):
+                self.group_index[len(self.trace_logs)] = (l, base + j)
+                self.trace_logs.append(l)
+            counts[l] = base + k
+            groups.setdefault(l, []).append(arr2)
+        self.commit_logs = [l + log_blowup for l in self.trace_logs]
         self.stacked_coeffs = {}  # trace_log -> (k, n) device
+        self.stacked_ext = {}  # commit_log -> (k, 2n) device, FFT order
         self.stacked_commit = {}  # commit_log -> (k, 2n) device, commit order
         self.trees = {}
         for l in sorted(groups, reverse=True):
             cl = l + log_blowup
-            idxs = [ci for ci, _ in groups[l]]
-            stacked = jnp.stack([c for _, c in groups[l]])
-            coeffs, commit_cols = _commit_pipeline(l, cl)(stacked)
+            pieces = groups[l]
+            stacked = (
+                pieces[0]
+                if len(pieces) == 1
+                else jnp.concatenate(pieces, axis=0)
+            )
+            coeffs, ext_cols, commit_cols = _commit_pipeline(l, cl)(stacked)
             self.stacked_coeffs[l] = coeffs
+            self.stacked_ext[cl] = ext_cols
             self.stacked_commit[cl] = commit_cols
             self.trees[cl] = merkle.commit(commit_cols)
-            for pos, ci in enumerate(idxs):
-                self.group_index[ci] = (l, pos)
-
-    def commit_col(self, ci):
-        l, pos = self.group_index[ci]
-        return self.stacked_commit[self.commit_logs[ci]][pos]
 
     def coeff_slice(self, start: int, count: int):
         """Stacked coefficient rows for columns [start, start+count), which
@@ -136,9 +153,8 @@ class CommitmentPhase:
                 jobs.setdefault((l, z), []).append((ci, pi_))
         for (l, z), lst in jobs.items():
             coeffs = self.stacked_coeffs[l]
-            zx = tuple(jnp.uint32(int(x)) for x in z[0])
-            zy = tuple(jnp.uint32(int(x)) for x in z[1])
-            v = _eval_stack(l)(coeffs, (zx, zy))
+            tws = fft.point_eval_twiddles_host(z, l)
+            v = _eval_stack(l)(coeffs, jnp.asarray(tws))
             vh = [np.asarray(x) for x in v]
             for ci, pi_ in lst:
                 _, pos = self.group_index[ci]
@@ -148,7 +164,9 @@ class CommitmentPhase:
 
 @lru_cache(maxsize=None)
 def _eval_stack(log_size: int):
-    return jax.jit(lambda coeffs, z: fft.eval_at_qpoint(coeffs, log_size, z))
+    return jax.jit(
+        lambda coeffs, tws: fft.eval_at_qpoint_scan(coeffs, log_size, tws)
+    )
 
 
 @dataclass
@@ -209,6 +227,11 @@ class CommitmentSchemeProver:
     def prove_values(self, sample_points) -> PcsProof:
         """sample_points: per phase, per column, list of QM31 circle points."""
         channel = self.channel
+        for phase, pts in zip(self.phases, sample_points):
+            assert len(pts) == len(phase.trace_logs), (
+                "sample points don't cover every committed column "
+                f"({len(pts)} vs {len(phase.trace_logs)})"
+            )
         # 1. sample + mix
         sampled = [
             phase.sample(pts) for phase, pts in zip(self.phases, sample_points)
@@ -222,19 +245,36 @@ class CommitmentSchemeProver:
         channel.mix_felts(flat)
         # 2. quotient alpha
         random_coeff = channel.draw_felt()
+        # per commit_log: one concatenation of every phase's committed stack
+        # (column handles are rows into it — a single device gather per
+        # quotient batch instead of one eager slice per column)
+        pieces: dict[int, list] = {}
+        base: dict[tuple, int] = {}
+        for pi_, phase in enumerate(self.phases):
+            for cl in sorted(phase.stacked_commit, reverse=True):
+                lst = pieces.setdefault(cl, [])
+                base[(pi_, cl)] = sum(int(x.shape[0]) for x in lst)
+                lst.append(phase.stacked_commit[cl])
+        stacks_by_log = {
+            cl: (lst[0] if len(lst) == 1 else jnp.concatenate(lst, axis=0))
+            for cl, lst in pieces.items()
+        }
         # enumerate (phase, column, point) -> alpha^k
         samples = []
         apow = (1, 0, 0, 0)
-        for phase, pts, vals in zip(self.phases, sample_points, sampled):
+        for pi_, (phase, pts, vals) in enumerate(
+            zip(self.phases, sample_points, sampled)
+        ):
             for col_idx, (zs, vs) in enumerate(zip(pts, vals)):
                 cl = phase.commit_logs[col_idx]
-                col_dev = phase.commit_col(col_idx)
+                _, pos = phase.group_index[col_idx]
+                row = base[(pi_, cl)] + pos
                 for z, v in zip(zs, vs):
-                    samples.append((cl, col_dev, z, v, apow))
+                    samples.append((cl, row, z, v, apow))
                     apow = fri.qscalar_mul(apow, random_coeff)
         grouped = quotients.group_samples(samples)
         quotient_cols = [
-            (l, quotients.quotient_column_device(l, batches))
+            (l, quotients.quotient_column_device(l, batches, stacks_by_log[l]))
             for l, batches in sorted(grouped.items(), reverse=True)
         ]
         # 3. FRI commit

@@ -137,14 +137,18 @@ def _commit_points(log_size: int):
     )
 
 
-def quotient_column_device(log_size: int, batches):
+def quotient_column_device(log_size: int, batches, stack):
     """Evaluate Q_l over the full commit domain (device, jitted per batch
-    shape).  Column handles are device M31 arrays in commit order."""
+    shape).  Column handles are row indices into ``stack`` — the (K, n)
+    commit-order concatenation of every committed column of this log size
+    (one gather per batch; per-column slicing would cost one XLA eager
+    compile per index)."""
     px, py = _commit_points(log_size)
     total = None
     for b in batches:
         k = len(b.entries)
-        cols = jnp.stack([col for col, _, _ in b.entries])
+        rows = np.array([col for col, _, _ in b.entries], np.int32)
+        cols = jnp.take(stack, jnp.asarray(rows), axis=0)
         w = np.zeros((k, 4), dtype=np.uint32)
         wa, wb = QZERO, QZERO
         _, _, c = line_coeffs(b.z, b.entries[0][1])

@@ -32,7 +32,9 @@ from pathlib import Path
 @dataclass
 class MdTestConfig:
     max_steps: int = 1_000_000
-    optimization_level: int = 1  # 0 = none, >=1 = standard pipeline
+    # 0 = none, >=1 = standard pipeline; the reference serde default is 0
+    # (crates/test_utils/src/mdtest/config.rs)
+    optimization_level: int = 0
 
 
 @dataclass
@@ -59,11 +61,13 @@ def _slug(s: str) -> str:
 
 
 def _parse_annotations(test: MdTest) -> str:
-    """Strip //! headers off the source, filling test fields; returns body."""
+    """Strip //! annotation lines anywhere in the source (reference parser
+    behavior, crates/test_utils/src/mdtest/parser.rs), filling test fields;
+    returns the body."""
     body = []
     for ln in test.cairo_source.splitlines():
         m = _ANNOT.match(ln.strip())
-        if m and not body:
+        if m:
             key, val = m.group(1), m.group(2).strip()
             if key == "expected":
                 test.expected = val

@@ -12,10 +12,4 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
-# Avoid XLA's multi-minute compiles of per-component constraint graphs on CPU;
-# eager execution is fast enough for tests.  TPU benches re-enable jit.
-from cairo_m_tpu.prover.stark import framework as _fw  # noqa: E402
-
-_fw.JIT_COMPONENTS = False
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
