@@ -50,7 +50,25 @@ def compile_cairo(source: str, name: str = "<input>", options: CompilerOptions =
             from .passes import optimize_module
 
             tm = optimize_module(tm)
-        program = ModuleCompiler(tm).compile()
+        # MIR path (SSA construction + pass pipeline + MIR codegen) per
+        # function; constructs outside the MIR subset (arrays, pointers,
+        # heap) fall back to the direct AST code generator.
+        mir_codes = {}
+        if options.optimization_level != "none":
+            from .mir import Unsupported, lower_function
+            from .mir_codegen import MirFnCodegen
+            from .mir_passes import run_pipeline
+
+            mc_probe = ModuleCompiler(tm)
+            for f in tm.module.functions:
+                try:
+                    mfn = run_pipeline(lower_function(tm, f))
+                    mir_codes[f.name] = MirFnCodegen(
+                        mc_probe, mfn, tm.functions[f.name]
+                    ).compile()
+                except Unsupported:
+                    pass
+        program = ModuleCompiler(tm, mir_codes).compile()
         return CompilerOutput(program, [])
     except (LexError, ParseError) as e:
         raise CompilationError([Diagnostic("error", str(e), name)]) from e

@@ -697,16 +697,28 @@ class FnCompiler:
         return base
 
 
+@dataclass
+class _CodeHolder:
+    code: list
+
+
 class ModuleCompiler:
-    def __init__(self, tm: TypedModule):
+    def __init__(self, tm: TypedModule, mir_codes: dict = None):
+        """mir_codes: optional {fn name: PendingInstr list} from the MIR
+        pipeline (mir_codegen); functions absent from it compile through
+        the direct AST path below."""
         self.tm = tm
+        self.mir_codes = mir_codes or {}
 
     def compile(self) -> Program:
         fns = []
         uses_heap = False
         for f in self.tm.module.functions:
-            fc = FnCompiler(self, f)
-            fc.compile()
+            if f.name in self.mir_codes:
+                fc = _CodeHolder(self.mir_codes[f.name])
+            else:
+                fc = FnCompiler(self, f)
+                fc.compile()
             fns.append((f, fc))
             for pi in fc.code:
                 v = pi.fields.get("imm")

@@ -181,7 +181,7 @@ def prove_cairo_m(prover_input, config=REGULAR_96_BITS, timing=None):
 
     # relations + interaction traces (device tape path; columns stay stacked)
     relations.draw(channel)
-    claimed_sums = []
+    claimed_dev = []
     inter_entries = []
     for comp, st in zip(comps.all, trace_stacks):
         pp = comp.preprocessed_columns() if comp.n_preprocessed_cols else ()
@@ -193,8 +193,11 @@ def prove_cairo_m(prover_input, config=REGULAR_96_BITS, timing=None):
         stacked, claimed = framework.gen_interaction_trace_device(
             comp, st, pre_stack
         )
-        claimed_sums.append(claimed)
+        claimed_dev.append(claimed)
         inter_entries.append((comp.log_size, domain.to_fft_order(stacked)))
+    # one batched device->host pull for every component's claimed sum
+    claimed_np = np.asarray(jnp.stack(claimed_dev))
+    claimed_sums = [tuple(int(x) for x in row) for row in claimed_np]
     _dbg(t0, "interaction traces")
     channel.mix_felts(claimed_sums)
     scheme.commit(inter_entries)

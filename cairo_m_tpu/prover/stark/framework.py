@@ -36,7 +36,7 @@ from .air import (
     Val,
     logup_shift_scalar,
 )
-from .fri import QZERO, qscalar_add, qscalar_mul, qscalar_mul_m31
+from .fri import QONE, QZERO, qscalar_add, qscalar_mul, qscalar_mul_m31
 
 P = (1 << 31) - 1
 
@@ -124,56 +124,113 @@ def _cumsum_mod(x: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Interaction trace generation (device, tape-compiled)
+# Interaction trace generation (device, wide-tape-compiled)
 # ---------------------------------------------------------------------------
 # The host path above is kept as the golden reference / debug tool; the
 # prover uses this device path: entry numerators/denominators evaluate via
-# the tape interpreter on the base domain, then batched QM31 inversion,
-# pair fractions, within-row prefix columns and the shifted row-cumulative
-# last column run as two jitted kernels.  Entries are recorded in chunks so
-# the interpreter's output register block stays small.
+# the wide tape interpreter (stark/wtape.py) on the base domain, then
+# batched QM31 inversion, pair fractions, within-row prefix columns and the
+# shifted row-cumulative last column run as two jitted kernels.  Tapes are
+# recorded once per (component, log_size): per-proof relation parameters
+# enter as *dynamic constants*.
 
-_ENTRY_CHUNK = 8
+import os as _os
+
+from .wtape import WideOps, WideRecorder, run_wide, schedule_wide
+
+_WIDE_W = int(_os.environ.get("CM_TAPE_WIDTH", "32"))
+
+_PLAN_CACHE: dict = {}
 
 
-def record_entries_tape(comp, chunk_size=_ENTRY_CHUNK):
-    """Record comp's relation entries into chunked base-domain tapes.
+def _record_with_dyn_relations(relations, build):
+    """Record with every relation's (z, alpha_powers) replaced by dynamic
+    const slots, so the resulting plan is proof-independent."""
+    rec = WideRecorder()
+    ops = WideOps(rec)
+    saved = [(r, r.z, r.alpha_powers) for r in relations.all()]
+    for r in relations.all():
+        r.z = tuple(rec.dyn_const(("relz", r.name, k)) for k in range(4))
+        r.alpha_powers = [
+            tuple(rec.dyn_const(("rela", r.name, j, k)) for k in range(4))
+            for j in range(r.arity)
+        ]
+    try:
+        outputs = build(rec, ops)
+    finally:
+        for r, z, ap in saved:
+            r.z, r.alpha_powers = z, ap
+    return schedule_wide(rec, outputs, width=_WIDE_W)
 
-    -> ([(tape, n_regs, consts, scratch, bank, n_entries_in_chunk)], E).
-    Each chunk's tape outputs are, per entry: numerator limbs 0-3 then
-    denominator limbs 0-3 (8 registers per entry).
-    """
-    from .tape import TapeOps, TapeRecorder, pack_tape
 
-    rec = TapeRecorder()
-    ops = TapeOps(rec)
+class _DynResolver:
+    """dict-like: resolves dynamic-const keys to per-proof values."""
 
-    def tg(idx, offset):
-        return Val(rec.bank_src("t", idx, offset), False, ops)
+    def __init__(self, relations, shift=None, apows=None):
+        self.rel = {r.name: r for r in relations.all()}
+        self.shift = shift
+        self.apows = apows  # list of QM31 tuples, index = exponent
 
-    def pg(idx, offset):
-        return Val(rec.bank_src("p", idx, offset), False, ops)
+    def __getitem__(self, key):
+        tag = key[0]
+        if tag == "relz":
+            return self.rel[key[1]].z[key[2]]
+        if tag == "rela":
+            return self.rel[key[1]].alpha_powers[key[2]][key[3]]
+        if tag == "shift":
+            return self.shift[key[1]]
+        if tag == "apow":
+            return self.apows[key[1]][key[2]]
+        raise KeyError(key)
 
-    def ig(idx, offset):  # pragma: no cover - collect_only skips finalize
-        raise AssertionError("interaction columns not available while recording")
 
-    shift = Val(ops.econst((0, 0, 0, 0)), True, ops)
-    ev = EvalAtRow(ops, tg, ig, shift, pg)
-    ev.collect_only = True
-    comp.evaluate(ev)
-    entries = ev.relation_entries
-    per_entry = [
-        list(e.multiplicity.as_ext().v) + list(e.relation.combine(e.values).v)
-        for e in entries
-    ]
-    chunks = []
-    for c0 in range(0, len(per_entry), chunk_size):
-        sel = per_entry[c0 : c0 + chunk_size]
-        outputs = [s for group in sel for s in group]
-        tape, n_regs, consts, scratch, used = pack_tape(rec, outputs)
-        bank = [rec.bank[i] for i in used]
-        chunks.append((tape, n_regs, consts, scratch, bank, len(sel)))
-    return chunks, len(entries)
+def interaction_plan(comp, relations):
+    """Cached wide plan computing, per relation entry: numerator limbs 0-3
+    then denominator limbs 0-3 (8 outputs per entry)."""
+    key = ("interaction", comp.name, comp.log_size)
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    def build(rec, ops):
+        def tg(idx, offset):
+            return Val(rec.bank_src("t", idx, offset), False, ops)
+
+        def pg(idx, offset):
+            return Val(rec.bank_src("p", idx, offset), False, ops)
+
+        def ig(idx, offset):  # pragma: no cover - collect_only skips finalize
+            raise AssertionError("interaction columns unavailable while recording")
+
+        shift = Val(ops.econst((0, 0, 0, 0)), True, ops)
+        ev = EvalAtRow(ops, tg, ig, shift, pg)
+        ev.collect_only = True
+        comp.evaluate(ev)
+        outs = []
+        for e in ev.relation_entries:
+            outs += list(e.multiplicity.as_ext().v)
+            outs += list(e.relation.combine(e.values).v)
+        n_e = len(ev.relation_entries)
+        # pad the entry count to a power of two with 0/1 fractions so the
+        # logup kernels bucket by shape (the extra zero fractions change no
+        # committed column: prefix sums are sliced to the true pair count)
+        from .wtape import _bucket
+
+        for _ in range(_bucket(n_e, 2) - n_e):
+            outs += [ops.bconst(0)] * 4 + [ops.bconst(1)] + [ops.bconst(0)] * 3
+        return outs, n_e
+
+    n_entries_box = []
+
+    def build2(rec, ops):
+        outs, n_e = build(rec, ops)
+        n_entries_box.append(n_e)
+        return outs
+
+    plan = _record_with_dyn_relations(relations, build2)
+    result = (plan, n_entries_box[0])
+    _PLAN_CACHE[key] = result
+    return result
 
 
 from functools import lru_cache as _lru_cache
@@ -230,53 +287,50 @@ def gen_interaction_trace_device(comp, trace_stack, pre_stack):
 
     ``trace_stack``/``pre_stack``: (k, 2^log_size) device uint32 stacks of
     the component's trace / preprocessed rows (row order).
-    -> (cols [n_pairs][4 limb (n,) device arrays], claimed_sum host tuple).
+    -> (stacked interaction limb columns (4*n_pairs, n) device,
+        claimed_sum (4,) device array — NOT pulled to host here, so callers
+        can batch all components' sums into one transfer).
     """
-    from .tape import run_tape
-
     l = comp.log_size
     n = 1 << l
-    chunks, E = record_entries_tape(comp)
+    plan, E = interaction_plan(comp, comp.relations)
+    Epad = len(plan.out_regs) // 8
     kt = int(trace_stack.shape[0])
-    outs = []
-    for tape, n_regs, consts, scratch, bank, ce in chunks:
-        src = np.zeros(len(bank), np.int32)
-        sh = np.zeros(len(bank), np.uint32)
-        for j, (kind, idx, off) in enumerate(bank):
-            src[j] = idx if kind == "t" else kt + idx
-            sh[j] = off % n
-        outs.append(
-            run_tape(
-                (trace_stack, pre_stack), src, sh, consts, tape,
-                n_regs, scratch, l, fft_order=False, n_out=8 * ce,
-            )
-        )
-    outs = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-    prefix = _logup_prefix_kernel(E, l)(outs)
+    src = np.zeros(len(plan.used_bank), np.int32)
+    sh = np.zeros(len(plan.used_bank), np.uint32)
+    for j, (kind, idx, off) in enumerate(plan.used_bank):
+        src[j] = idx if kind == "t" else kt + idx
+        sh[j] = off % n
+    consts = plan.const_values(_DynResolver(comp.relations))
+    outs = run_wide(
+        (trace_stack, pre_stack), src, sh, consts, plan, l, fft_order=False
+    )
+    prefix = _logup_prefix_kernel(Epad, l)(outs)
     n_pairs = (E + 1) // 2
     row_total = prefix[n_pairs - 1]
     last, total = _logup_last_kernel(l)(row_total)
-    claimed = tuple(int(x) for x in np.asarray(total))
     # stacked interaction limb columns: pair0 limb0-3, pair1 limb0-3, ...
     # (kept stacked — per-column slicing costs one eager compile per index)
     stacked = jnp.concatenate(
         [prefix[: n_pairs - 1].reshape((n_pairs - 1) * 4, n), last], axis=0
     )
-    return stacked, claimed
+    return stacked, total
 
 
 # ---------------------------------------------------------------------------
-# Composition (device, tape-compiled)
+# Composition (device, wide-tape-compiled)
 # ---------------------------------------------------------------------------
 # XLA compile time is superlinear in graph size, so per-component symbolic
-# graphs are unusable on TPU (see stark/tape.py).  Each component's
-# constraints are instead *recorded* per proof into a linear instruction
-# tape executed by one generic jitted interpreter whose compile cost is
-# O(1) in the number of components/constraints.
+# graphs are unusable on TPU (see stark/wtape.py).  Each component's
+# constraints are instead *recorded* once per (component, log_size) into a
+# wide-scheduled instruction plan executed by one generic jitted
+# interpreter whose compile cost is O(1) in the number of
+# components/constraints.  The constraints are combined as the weighted sum
+# sum_k alpha^{n-1-k} * C_k (== the verifier's Horner chain) with the alpha
+# powers as dynamic constants and a *balanced add tree*, keeping the
+# schedulable depth logarithmic instead of serial in #constraints.
 
 import jax
-
-from .tape import TapeOps, TapeRecorder, pack_tape, run_tape
 
 _COUNT_CACHE: dict = {}
 
@@ -309,42 +363,47 @@ def count_constraints(comp) -> int:
     return n
 
 
-def record_component_tape(comp, claimed_sum, random_coeff):
-    """Record comp.evaluate() + the alpha accumulation chain + the vanishing
-    division into a tape.  Returns (tape, n_regs, consts, bank) where bank
-    lists the referenced (kind, column, row_offset) masks, kind in
-    {'t','i','p','v'}."""
-    rec = TapeRecorder()
-    ops = TapeOps(rec)
+def composition_plan(comp, relations):
+    """Cached wide plan: comp.evaluate() + weighted constraint combination
+    + the vanishing division.  Bank kinds: 't' trace, 'i' interaction limb,
+    'p' preprocessed, 'v' vanishing-inverse row.  Per-proof scalars (drawn
+    relation parameters, logup shift, alpha powers) are dynamic consts."""
+    key = ("composition", comp.name, comp.log_size)
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit
 
-    def tg(idx, offset):
-        return Val(rec.bank_src("t", idx, offset), False, ops)
+    def build(rec, ops):
+        def tg(idx, offset):
+            return Val(rec.bank_src("t", idx, offset), False, ops)
 
-    def ig(idx, offset):
-        return Val(
-            tuple(rec.bank_src("i", 4 * idx + k, offset) for k in range(4)),
-            True,
-            ops,
+        def ig(idx, offset):
+            return Val(
+                tuple(rec.bank_src("i", 4 * idx + k, offset) for k in range(4)),
+                True,
+                ops,
+            )
+
+        def pg(idx, offset):
+            return Val(rec.bank_src("p", idx, offset), False, ops)
+
+        shift = Val(
+            tuple(rec.dyn_const(("shift", k)) for k in range(4)), True, ops
         )
+        ev = EvalAtRow(ops, tg, ig, shift, pg)
+        comp.evaluate(ev)
+        ncon = len(ev.constraints)
+        terms = []
+        for k, c in enumerate(ev.constraints):
+            w = tuple(rec.dyn_const(("apow", ncon - 1 - k, j)) for j in range(4))
+            terms.append(ops.emul(c.as_ext().v, w))
+        acc = ops.etree_sum(terms)
+        vinv = rec.bank_src("v", 0, 0)
+        return list(ops.emul_b(acc, vinv))
 
-    def pg(idx, offset):
-        return Val(rec.bank_src("p", idx, offset), False, ops)
-
-    shift = Val(
-        ops.econst(logup_shift_scalar(claimed_sum, comp.log_size)), True, ops
-    )
-    ev = EvalAtRow(ops, tg, ig, shift, pg)
-    comp.evaluate(ev)
-    alpha = ops.econst(random_coeff)
-    acc = None
-    for c in ev.constraints:
-        ce = c.as_ext().v
-        acc = ce if acc is None else ops.eadd(ops.emul(acc, alpha), ce)
-    vinv = rec.bank_src("v", 0, 0)
-    out = ops.emul_b(acc, vinv)
-    tape, n_regs, consts, scratch, used = pack_tape(rec, out)
-    bank = [rec.bank[i] for i in used]
-    return tape, n_regs, consts, scratch, bank
+    plan = _record_with_dyn_relations(relations, build)
+    _PLAN_CACHE[key] = plan
+    return plan
 
 
 @jax.jit
@@ -388,6 +447,10 @@ def compute_composition(
     """
     counts = [count_constraints(c) for c in components]
     max_elog = max(c.log_size for c in components) + blowup
+    # alpha powers 0..max(counts)-1 for the in-component weighted sums
+    apows = [QONE]
+    for _ in range(max(counts)):
+        apows.append(qscalar_mul(apows[-1], random_coeff))
     total = None
     ti = ii = 0
     zero_stack_cache = {}
@@ -395,8 +458,13 @@ def compute_composition(
         l = comp.log_size
         elog = l + blowup
         n = 1 << elog
-        tape, n_regs, consts, scratch, bank = record_component_tape(
-            comp, claimed_sums[i], random_coeff
+        plan = composition_plan(comp, relations)
+        consts = plan.const_values(
+            _DynResolver(
+                relations,
+                shift=logup_shift_scalar(claimed_sums[i], l),
+                apows=apows,
+            )
         )
         text = trace_phase.stacked_ext[elog]
         iext = inter_phase.stacked_ext[elog]
@@ -409,9 +477,9 @@ def compute_composition(
         Kt, Ki, Kp = int(text.shape[0]), int(iext.shape[0]), int(pext.shape[0])
         pre_start = pre_owner_map.get(id(comp), (0, 0))[0]
         roll = 1 << blowup
-        src = np.zeros(len(bank), np.int32)
-        sh = np.zeros(len(bank), np.uint32)
-        for j, (kind, idx, offset) in enumerate(bank):
+        src = np.zeros(len(plan.used_bank), np.int32)
+        sh = np.zeros(len(plan.used_bank), np.uint32)
+        for j, (kind, idx, offset) in enumerate(plan.used_bank):
             if kind == "t":
                 _, pos = trace_phase.group_index[ti + idx]
                 src[j] = pos
@@ -426,10 +494,7 @@ def compute_composition(
             sh[j] = (roll * offset) % n
         _, vinv = domain.vanishing_on_domain(l, elog)
         vrow = jnp.asarray(domain.to_fft_order(vinv)[None])
-        out = run_tape(
-            (text, iext, pext, vrow), src, sh, consts, tape, n_regs,
-            scratch, elog,
-        )
+        out = run_wide((text, iext, pext, vrow), src, sh, consts, plan, elog)
         contrib = tuple(out[k] for k in range(4))
         after = sum(counts[i + 1 :])
         w4 = jnp.asarray(np.array(_qpow_scalar(random_coeff, after), np.uint32))

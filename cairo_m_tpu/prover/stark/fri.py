@@ -202,11 +202,12 @@ class FriProver:
 
     def decommit(self, queries) -> FriProof:
         roots = []
-        decs = []
+        plans = []
         for log_k, tree in self.inner_trees:
             pairs = pair_positions(queries, self.max_log, log_k)
             roots.append(tree.root())
-            decs.append(merkle.decommit(tree, pairs))
+            plans.append(merkle.DecommitPlan(tree, pairs))
+        decs = merkle.finish_plans(plans)  # one device->host pull
         return FriProof(roots, decs, self.last_layer)
 
 

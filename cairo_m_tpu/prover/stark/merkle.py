@@ -32,9 +32,17 @@ from ...hash import blake2s
 # trees, so the jit cache amortizes; a whole-pyramid jit would be a single
 # huge graph with superlinear XLA compile time.  Levels are kept as stacked
 # (8, m) digest arrays so openings are single device gathers.
+#
+# Protocol convention: leaf messages pad the column count to the next power
+# of two with zero words (verify_decommitment pads identically), so the
+# leaf-hash kernel shape buckets instead of compiling per column count.
 _hash_leaf = jax.jit(
     lambda stacked: jnp.stack(blake2s.hash_words(list(stacked)))
 )
+
+
+def _pad_cols(k: int) -> int:
+    return 1 << max(0, (k - 1).bit_length())
 
 
 @jax.jit
@@ -58,14 +66,31 @@ class MerkleTree:
         self.columns = stacked
         self.log_size = n.bit_length() - 1
         assert 1 << self.log_size == n
-        digests = _hash_leaf(stacked)
+        kp = _pad_cols(n_cols)
+        hashed = (
+            stacked
+            if kp == n_cols
+            else jnp.concatenate(
+                [stacked, jnp.zeros((kp - n_cols, n), jnp.uint32)], axis=0
+            )
+        )
+        digests = _hash_leaf(hashed)
         self.levels = [digests]  # (8, m) per level
         while int(digests.shape[1]) > 1:
             digests = _hash_inner(digests)
             self.levels.append(digests)
-        self._root = np.asarray(self.levels[-1][:, 0]).astype("<u4").tobytes()
+        # root stays on device until asked for — callers batch-pull roots of
+        # many trees in one transfer (the axon tunnel charges per pull)
+        self.root_dev = self.levels[-1][:, 0]  # (8,) uint32
+        self._root = None
 
     def root(self) -> bytes:
+        if self._root is None:
+            self.set_root_words(np.asarray(self.root_dev))
+        return self._root
+
+    def set_root_words(self, words8):
+        self._root = np.asarray(words8).astype("<u4").tobytes()
         return self._root
 
 
@@ -94,35 +119,74 @@ class MerkleDecommitment:
         )
 
 
+class DecommitPlan:
+    """Device gathers + metadata for opening one tree; `finish` assembles
+    the decommitment from the host copy of `flat`.  Callers concatenate many
+    plans' `flat` arrays and pull them in ONE device->host transfer."""
+
+    def __init__(self, tree: MerkleTree, positions):
+        self.positions = sorted(set(int(p) for p in positions))
+        self.n_cols = int(tree.columns.shape[0])
+        pos_arr = jnp.asarray(np.array(self.positions, np.int32))
+        parts = [jnp.take(tree.columns, pos_arr, axis=1).reshape(-1)]
+        self.sib_counts = []
+        cur = self.positions
+        for lvl in range(len(tree.levels) - 1):
+            cur_set = set(cur)
+            sibs = [p ^ 1 for p in cur if (p ^ 1) not in cur_set]
+            parents = []
+            for p in cur:
+                par = p >> 1
+                if not parents or parents[-1] != par:
+                    parents.append(par)
+            self.sib_counts.append(len(sibs))
+            if sibs:
+                parts.append(
+                    jnp.take(
+                        tree.levels[lvl],
+                        jnp.asarray(np.array(sibs, np.int32)),
+                        axis=1,
+                    ).T.reshape(-1)  # (S, 8) word-major per digest
+                )
+            cur = parents
+        self.flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        self.size = int(self.flat.shape[0])
+
+    def finish(self, host_flat: np.ndarray) -> MerkleDecommitment:
+        P_ = len(self.positions)
+        opened = host_flat[: self.n_cols * P_].reshape(self.n_cols, P_)
+        values = [
+            {p: int(opened[ci, j]) for j, p in enumerate(self.positions)}
+            for ci in range(self.n_cols)
+        ]
+        off = self.n_cols * P_
+        siblings = []
+        for s in self.sib_counts:
+            words = host_flat[off : off + 8 * s].reshape(s, 8)
+            off += 8 * s
+            for j in range(s):
+                siblings.append(words[j].astype("<u4").tobytes())
+        return MerkleDecommitment(values, siblings)
+
+
+def finish_plans(plans: list) -> list:
+    """Pull every plan's gathers in one transfer; return decommitments."""
+    if not plans:
+        return []
+    flat = jnp.concatenate([p.flat for p in plans])
+    host = np.asarray(flat)
+    out = []
+    off = 0
+    for p in plans:
+        out.append(p.finish(host[off : off + p.size]))
+        off += p.size
+    return out
+
+
 def decommit(tree: MerkleTree, positions) -> MerkleDecommitment:
-    """Open sorted positions.  Only the opened values and the needed sibling
-    digests move device->host (gathers) — never whole columns or levels."""
-    positions = sorted(set(int(p) for p in positions))
-    pos_arr = jnp.asarray(np.array(positions, np.int32))
-    opened = np.asarray(jnp.take(tree.columns, pos_arr, axis=1))  # (K, P)
-    values = [
-        {p: int(opened[ci, j]) for j, p in enumerate(positions)}
-        for ci in range(opened.shape[0])
-    ]
-    siblings = []
-    cur = positions
-    for lvl in range(len(tree.levels) - 1):
-        cur_set = set(cur)
-        sibs = [p ^ 1 for p in cur if (p ^ 1) not in cur_set]
-        parents = []
-        for p in cur:
-            par = p >> 1
-            if not parents or parents[-1] != par:
-                parents.append(par)
-        if sibs:
-            sib_arr = jnp.asarray(np.array(sibs, np.int32))
-            words = np.asarray(
-                jnp.take(tree.levels[lvl], sib_arr, axis=1)
-            )  # (8, S)
-            for j in range(words.shape[1]):
-                siblings.append(words[:, j].astype("<u4").tobytes())
-        cur = parents
-    return MerkleDecommitment(values, siblings)
+    """Open sorted positions (single-tree convenience: one device pull)."""
+    plan = DecommitPlan(tree, positions)
+    return plan.finish(np.asarray(plan.flat))
 
 
 def verify_decommitment(
@@ -135,7 +199,9 @@ def verify_decommitment(
     positions = sorted(set(int(p) for p in positions))
     if len(dec.values) != n_columns:
         return False
-    # recompute leaf digests
+    # recompute leaf digests (column count padded to a power of two with
+    # zero words — the committer's leaf-message convention)
+    pad = (_pad_cols(n_columns) - n_columns) * b"\x00\x00\x00\x00"
     digests = {}
     for p in positions:
         msg = b""
@@ -143,7 +209,7 @@ def verify_decommitment(
             if p not in col:
                 return False
             msg += int(col[p]).to_bytes(4, "little")
-        digests[p] = blake2s.hash_bytes(msg)
+        digests[p] = blake2s.hash_bytes(msg + pad)
     sib_iter = iter(dec.siblings)
     cur = positions
     for _ in range(log_size):

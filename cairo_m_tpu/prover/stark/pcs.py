@@ -36,7 +36,7 @@ def _commit_pipeline(trace_log: int, commit_log: int):
     (coeffs, fft-order LDE, commit-order LDE).
 
     The fft-order LDE is kept on the phase so the composition tape kernels
-    (stark/tape.py) reuse it instead of re-extending columns."""
+    (stark/wtape.py) reuse it instead of re-extending columns."""
 
     def f(stacked):
         coeffs = fft.ifft(stacked, trace_log)
@@ -139,26 +139,42 @@ class CommitmentPhase:
         return [(cl, self.trees[cl].root()) for cl in sorted(self.trees, reverse=True)]
 
     def mix_roots(self, channel):
+        """Mix all tree roots largest-first — ONE device->host pull."""
+        logs = sorted(self.trees, reverse=True)
+        if logs:
+            words = np.asarray(
+                jnp.stack([self.trees[cl].root_dev for cl in logs])
+            )
+            for i, cl in enumerate(logs):
+                self.trees[cl].set_root_words(words[i])
         for _, r in self.roots():
             channel.mix_root(r)
 
     def sample(self, points_per_column):
         """Evaluate columns at sample points.  All columns of one log_size in
         a phase must share the same point list (the protocol guarantees it);
-        one stacked jitted point-evaluation per (log, point)."""
+        one stacked jitted point-evaluation per (log, point) and ONE
+        device->host pull for the whole phase."""
         out = [[None] * len(pts) for pts in points_per_column]
         jobs = {}
         for ci, (l, pts) in enumerate(zip(self.trace_logs, points_per_column)):
             for pi_, z in enumerate(pts):
                 jobs.setdefault((l, z), []).append((ci, pi_))
+        devs = []
         for (l, z), lst in jobs.items():
             coeffs = self.stacked_coeffs[l]
             tws = fft.point_eval_twiddles_host(z, l)
             v = _eval_stack(l)(coeffs, jnp.asarray(tws))
-            vh = [np.asarray(x) for x in v]
+            devs.append(jnp.stack(v).reshape(-1))  # (4*k,)
+        flat = np.asarray(jnp.concatenate(devs)) if devs else np.zeros(0)
+        off = 0
+        for (l, z), lst in jobs.items():
+            k = int(self.stacked_coeffs[l].shape[0])
+            vh = flat[off : off + 4 * k].reshape(4, k)
+            off += 4 * k
             for ci, pi_ in lst:
                 _, pos = self.group_index[ci]
-                out[ci][pi_] = tuple(int(vh[k][pos]) for k in range(4))
+                out[ci][pi_] = tuple(int(vh[j][pos]) for j in range(4))
         return out
 
 
@@ -285,14 +301,18 @@ class CommitmentSchemeProver:
         # 5. queries
         max_log = fri_prover.max_log
         queries = channel.draw_queries(self.config.fri_config.n_queries, max_log)
-        # 6. decommit
-        decommitments = []
-        for phase in self.phases:
-            d = {}
+        # 6. decommit — all phase trees' openings in ONE device->host pull
+        plan_keys = []
+        plans = []
+        for pi_, phase in enumerate(self.phases):
             for cl, tree in phase.trees.items():
                 pairs = fri.pair_positions(queries, max_log, cl)
-                d[cl] = merkle.decommit(tree, pairs)
-            decommitments.append(d)
+                plans.append(merkle.DecommitPlan(tree, pairs))
+                plan_keys.append((pi_, cl))
+        decs = merkle.finish_plans(plans)
+        decommitments = [{} for _ in self.phases]
+        for (pi_, cl), dec in zip(plan_keys, decs):
+            decommitments[pi_][cl] = dec
         fri_proof = fri_prover.decommit(queries)
         return PcsProof(
             [p.roots() for p in self.phases],

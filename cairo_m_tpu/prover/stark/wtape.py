@@ -1,0 +1,583 @@
+"""Wide tape-compiled constraint evaluation (v2 of `tape.py`).
+
+The round-2 tape interpreter executed ONE M31 instruction per `lax.scan`
+step — a (R, n) register file crawled through thousands of serial steps, so
+VPU utilization was a tiny fraction of peak (VERDICT r2, Weak #1).  This
+module keeps the tape idea (constraint programs as *data*, so the compiled
+XLA graph is O(1) in component count — compile time on TPU is superlinear
+in graph size, measured ~500 s at 40k primitives) but fixes the execution
+model:
+
+- **Level scheduling**: the recorded SSA DAG is list-scheduled into steps of
+  up to W *independent* instructions (critical-path priority).  One scan
+  step now executes W instructions as (W, tile) vector ops — W-fold fewer
+  serial steps, full-width VPU work per step.
+- **Tree combination**: callers combine constraint values with precomputed
+  alpha-power weights and a balanced add tree instead of a serial Horner
+  chain, so the DAG depth stays ~constraint-body depth (+log #constraints):
+  poseidon2 drops from 1931 serial ops to ~60 levels.
+- **Dynamic constants**: per-proof scalars (drawn z/alpha, logup shift,
+  composition weights) are *runtime inputs*, not baked values, so a tape is
+  recorded once per (component, log_size) and cached — recording cost and
+  per-proof Python overhead vanish after the first proof.
+- **Row tiling**: the register file is (R, tile) instead of (R, n); tiles
+  run under `lax.map`, bounding HBM while keeping each step wide.
+
+Role-equivalent of the constraint evaluation inside `stwo::prove`
+(`crates/prover/src/components/*::evaluate` executed by the SimdBackend —
+SURVEY.md §2.5/§2.9), re-architected for XLA's compile model.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...field import m31
+
+P = (1 << 31) - 1
+
+_ADD, _SUB, _MUL = 0, 1, 2
+
+
+class WideRecorder:
+    """Accumulates SSA instructions, constants (static + dynamic) and bank
+    (input column) slots.  API-compatible superset of tape.TapeRecorder."""
+
+    def __init__(self):
+        self.instrs = []  # (base_op, src_a, src_b, ssa_dst)
+        self.n_ssa = 0
+        self.consts = [0]  # slot 0 pinned to 0 (NOP operand)
+        self._const_ix = {0: 0}
+        self.dyn_keys = {}  # const index -> key
+        self.bank = []  # (kind, idx, offset)
+        self._bank_ix = {}
+        self._cse = {}
+
+    # -- sources --
+
+    def const(self, v) -> tuple:
+        v = int(v) % P
+        ix = self._const_ix.get(v)
+        if ix is None:
+            ix = len(self.consts)
+            self._const_ix[v] = ix
+            self.consts.append(v)
+        return ("c", ix)
+
+    def dyn_const(self, key) -> tuple:
+        """A constant whose value is supplied at run time (per proof).
+        Never constant-folded; deduplicated by key."""
+        for ix, k in self.dyn_keys.items():
+            if k == key:
+                return ("c", ix)
+        ix = len(self.consts)
+        self.consts.append(None)  # placeholder
+        self.dyn_keys[ix] = key
+        return ("c", ix)
+
+    def bank_src(self, kind: str, idx: int, offset: int) -> tuple:
+        key = (kind, idx, offset)
+        ix = self._bank_ix.get(key)
+        if ix is None:
+            ix = len(self.bank)
+            self._bank_ix[key] = ix
+            self.bank.append(key)
+        return ("b", ix)
+
+    def _static_val(self, s):
+        if s[0] != "c" or s[1] in self.dyn_keys:
+            return None
+        return self.consts[s[1]]
+
+    # -- emission with simplification + hash-consing --
+
+    def emit(self, op: int, a: tuple, b: tuple) -> tuple:
+        va, vb = self._static_val(a), self._static_val(b)
+        if va is not None and vb is not None:
+            if op == _ADD:
+                return self.const(va + vb)
+            if op == _SUB:
+                return self.const(va - vb)
+            return self.const(va * vb)
+        if op == _ADD:
+            if va == 0:
+                return b
+            if vb == 0:
+                return a
+            if b < a:
+                a, b = b, a
+        elif op == _SUB:
+            if vb == 0:
+                return a
+        else:  # MUL
+            if va == 0 or vb == 0:
+                return self.const(0)
+            if va == 1:
+                return b
+            if vb == 1:
+                return a
+            if b < a:
+                a, b = b, a
+        key = (op, a, b)
+        hit = self._cse.get(key)
+        if hit is not None:
+            return hit
+        dst = ("r", self.n_ssa)
+        self.n_ssa += 1
+        self.instrs.append((op, a, b, dst[1]))
+        self._cse[key] = dst
+        return dst
+
+
+class WideOps:
+    """Backend protocol (stark/air.py) over symbolic sources — identical
+    field formulas to tape.TapeOps, plus pass-through of symbolic QM31
+    constants (used to inject dynamic relation parameters)."""
+
+    is_host = False
+
+    def __init__(self, rec: WideRecorder):
+        self.rec = rec
+
+    def badd(self, a, b):
+        return self.rec.emit(_ADD, a, b)
+
+    def bsub(self, a, b):
+        return self.rec.emit(_SUB, a, b)
+
+    def bmul(self, a, b):
+        return self.rec.emit(_MUL, a, b)
+
+    def bneg(self, a):
+        return self.rec.emit(_SUB, self.rec.const(0), a)
+
+    def bconst(self, c, like=None):
+        return self.rec.const(c)
+
+    def embed(self, b):
+        z = self.rec.const(0)
+        return (b, z, z, z)
+
+    def econst(self, q):
+        return tuple(
+            x if _is_src(x) else self.rec.const(int(x)) for x in q
+        )
+
+    def eadd(self, x, y):
+        return tuple(self.badd(a, b) for a, b in zip(x, y))
+
+    def esub(self, x, y):
+        return tuple(self.bsub(a, b) for a, b in zip(x, y))
+
+    def eneg(self, x):
+        return tuple(self.bneg(a) for a in x)
+
+    def emul_b(self, x, s):
+        return tuple(self.bmul(a, s) for a in x)
+
+    def _cmul(self, p, q):
+        return (
+            self.bsub(self.bmul(p[0], q[0]), self.bmul(p[1], q[1])),
+            self.badd(self.bmul(p[0], q[1]), self.bmul(p[1], q[0])),
+        )
+
+    def _cmul_r(self, p):
+        return (
+            self.bsub(self.badd(p[0], p[0]), p[1]),
+            self.badd(p[0], self.badd(p[1], p[1])),
+        )
+
+    def emul(self, x, y):
+        a_, b_ = (x[0], x[1]), (x[2], x[3])
+        c_, d_ = (y[0], y[1]), (y[2], y[3])
+        ac = self._cmul(a_, c_)
+        bd = self._cmul(b_, d_)
+        ad = self._cmul(a_, d_)
+        bc = self._cmul(b_, c_)
+        rbd = self._cmul_r(bd)
+        return (
+            self.badd(ac[0], rbd[0]),
+            self.badd(ac[1], rbd[1]),
+            self.badd(ad[0], bc[0]),
+            self.badd(ad[1], bc[1]),
+        )
+
+    def etree_sum(self, terms):
+        """Balanced QM31 add tree (keeps scheduled depth logarithmic)."""
+        terms = list(terms)
+        while len(terms) > 1:
+            nxt = [
+                self.eadd(terms[i], terms[i + 1])
+                for i in range(0, len(terms) - 1, 2)
+            ]
+            if len(terms) % 2:
+                nxt.append(terms[-1])
+            terms = nxt
+        return terms[0]
+
+
+def _is_src(x):
+    return isinstance(x, tuple) and len(x) == 2 and x[0] in ("c", "r", "b")
+
+
+# ---------------------------------------------------------------------------
+# Scheduling + packing
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class WidePlan:
+    """A scheduled tape: (S, W) instruction grid + metadata."""
+
+    opc: np.ndarray  # (S, W) int32: op*9 + sa*3 + sb  (NOP = add c0 c0)
+    ia: np.ndarray  # (S, W) int32
+    ib: np.ndarray  # (S, W) int32
+    dst: np.ndarray  # (S, W) int32 (scratch register 0 for NOPs)
+    n_regs: int
+    out_regs: np.ndarray  # (n_out,) int32
+    consts: np.ndarray  # (C,) uint32 with zeros at dynamic slots
+    dyn_slots: list  # [(const_index, key)]
+    used_bank: list  # [(kind, idx, offset)] in operand-index order
+    n_instrs: int
+
+    @property
+    def n_steps(self):
+        return int(self.opc.shape[0])
+
+    @property
+    def width(self):
+        return int(self.opc.shape[1])
+
+    def const_values(self, dyn_values) -> np.ndarray:
+        """Fill dynamic slots from {key: int} -> runtime const vector."""
+        c = self.consts.copy()
+        for ix, key in self.dyn_slots:
+            c[ix] = int(dyn_values[key]) % P
+        return c
+
+
+def schedule_wide(rec: WideRecorder, outputs, width: int = 32) -> WidePlan:
+    """DCE + critical-path list scheduling into W-wide steps + register
+    allocation with per-step-unique destinations."""
+    outputs = list(outputs)
+    # materialize const/bank outputs as copies so every output is an SSA reg
+    outs = []
+    for o in outputs:
+        if o[0] == "r":
+            outs.append(o)
+        else:
+            outs.append(rec.emit(_ADD, o, ("c", 0)))
+            if outs[-1][0] != "r":  # folded (static const + 0)
+                # force a copy via subtraction with itself trick is wrong;
+                # emit unfoldable: add with dyn zero would change semantics.
+                # Use a raw instruction append instead.
+                dst = ("r", rec.n_ssa)
+                rec.n_ssa += 1
+                rec.instrs.append((_ADD, o, ("c", 0), dst[1]))
+                outs[-1] = dst
+    out_ssa = [o[1] for o in outs]
+
+    # DCE
+    live = set(out_ssa)
+    keep = []
+    for op, a, b, d in reversed(rec.instrs):
+        if d in live:
+            keep.append((op, a, b, d))
+            if a[0] == "r":
+                live.add(a[1])
+            if b[0] == "r":
+                live.add(b[1])
+    instrs = keep[::-1]
+    n = len(instrs)
+
+    # dependency heights (critical path to outputs) for priority
+    pos_of = {d: i for i, (_, _, _, d) in enumerate(instrs)}
+    users: dict[int, list] = {}
+    for i, (op, a, b, d) in enumerate(instrs):
+        for s in (a, b):
+            if s[0] == "r":
+                users.setdefault(s[1], []).append(i)
+    height = [0] * n
+    for i in range(n - 1, -1, -1):
+        d = instrs[i][3]
+        h = 0
+        for u in users.get(d, ()):
+            h = max(h, height[u] + 1)
+        height[i] = h
+
+    # list scheduling: ready = all reg deps scheduled in an earlier step
+    import heapq
+
+    ndeps = [0] * n
+    for i, (op, a, b, d) in enumerate(instrs):
+        for s in (a, b):
+            if s[0] == "r" and s[1] in pos_of:
+                ndeps[i] += 1
+    ready = [(-height[i], i) for i in range(n) if ndeps[i] == 0]
+    heapq.heapify(ready)
+    step_of = [0] * n
+    steps: list[list[int]] = []
+    pending: list[tuple] = []  # becomes ready next step
+    while ready or pending:
+        cur = []
+        while ready and len(cur) < width:
+            _, i = heapq.heappop(ready)
+            cur.append(i)
+        steps.append(cur)
+        s = len(steps) - 1
+        newly = []
+        for i in cur:
+            step_of[i] = s
+            d = instrs[i][3]
+            for u in users.get(d, ()):
+                ndeps[u] -= 1
+                if ndeps[u] == 0:
+                    newly.append((-height[u], u))
+        # leftovers in `ready` stay ready; newly-enabled join for next step
+        for item in newly:
+            heapq.heappush(ready, item)
+    S = len(steps)
+
+    # register allocation: register 0 = scratch; frees apply next step
+    last_step_use: dict[int, int] = {}
+    for i, (op, a, b, d) in enumerate(instrs):
+        for s in (a, b):
+            if s[0] == "r":
+                last_step_use[s[1]] = max(
+                    last_step_use.get(s[1], 0), step_of[i]
+                )
+    for ssa in out_ssa:
+        last_step_use[ssa] = S  # alive to the end
+    phys: dict[int, int] = {}
+    free: list[int] = []
+    next_reg = 1
+
+    # bank compaction
+    bank_map: dict[int, int] = {}
+    used_bank: list = []
+
+    def bank_ix(i):
+        if i not in bank_map:
+            bank_map[i] = len(used_bank)
+            used_bank.append(rec.bank[i])
+        return bank_map[i]
+
+    def src_code(s):
+        if s[0] == "r":
+            return 0, phys[s[1]]
+        if s[0] == "b":
+            return 1, bank_ix(s[1])
+        return 2, s[1]
+
+    opc = np.zeros((S, width), np.int32)  # default: add c0 c0 -> NOP
+    opc[:, :] = _ADD * 9 + 2 * 3 + 2
+    ia = np.zeros((S, width), np.int32)
+    ib = np.zeros((S, width), np.int32)
+    dst = np.zeros((S, width), np.int32)  # scratch
+
+    # values whose last use is in step s free their register before step s+1
+    frees_after: dict[int, list] = {}
+    for step_idx, bucket in enumerate(steps):
+        for ssa, r in frees_after.pop(step_idx - 1, ()):  # noqa: B909
+            free.append(r)
+        for slot, i in enumerate(bucket):
+            op, a, b, d = instrs[i]
+            sa, va = src_code(a)
+            sb, vb = src_code(b)
+            r = free.pop() if free else next_reg
+            if r == next_reg:
+                next_reg += 1
+            phys[d] = r
+            ls = last_step_use.get(d, step_idx)
+            if ls < S:
+                frees_after.setdefault(ls, []).append((d, r))
+            opc[step_idx, slot] = op * 9 + sa * 3 + sb
+            ia[step_idx, slot] = va
+            ib[step_idx, slot] = vb
+            dst[step_idx, slot] = r
+
+    out_regs = np.array([phys[s] for s in out_ssa], np.int32)
+    consts = np.array(
+        [0 if v is None else v for v in rec.consts], np.uint32
+    )
+    dyn_slots = sorted(rec.dyn_keys.items())
+    return WidePlan(
+        opc, ia, ib, dst, next_reg, out_regs, consts, dyn_slots, used_bank, n
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interpreter kernel
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _row_from_fft_perm(elog: int):
+    n = 1 << elog
+    g = np.zeros(n, dtype=np.int32)
+    k = np.arange(n // 2)
+    g[2 * k] = k
+    g[2 * k + 1] = n - 1 - k
+    return g
+
+
+# HBM budget for the per-tile register file (R * tile * 4 bytes)
+_REG_BYTES = 128 << 20
+
+
+def _pick_tiles(R: int, n: int) -> int:
+    """Number of row tiles (power of two) so the register file fits."""
+    tiles = 1
+    while tiles < n and R * (n // tiles) * 4 > _REG_BYTES:
+        tiles *= 2
+    return tiles
+
+
+@lru_cache(maxsize=None)
+def _wide_kernel(B: int, S: int, W: int, R: int,
+                 n_out: int, elog: int, fft_order: bool, n_tiles: int):
+    """f(rows, sh, consts, opc, ia, ib, dst, out_regs)
+    -> (n_out, n) row-order limbs.
+
+    Every dimension in the cache key is BUCKETED (powers of two) by
+    `run_wide`, so the ~45 components of a proof share a handful of
+    compiled kernels instead of one XLA compile each.
+    """
+    n = 1 << elog
+    tile = n // n_tiles
+    G = jnp.asarray(_row_from_fft_perm(elog)) if fft_order else None
+
+    def f(rows, sh, consts, opc, ia, ib, dst, out_regs):
+        base = opc // 9
+        sa = (opc // 3) % 3
+        sb = opc % 3
+        C = consts.shape[0]
+        ia_r = jnp.minimum(ia, R - 1)
+        ia_b = jnp.minimum(ia, B - 1)
+        ia_c = jnp.minimum(ia, C - 1)
+        ib_r = jnp.minimum(ib, R - 1)
+        ib_b = jnp.minimum(ib, B - 1)
+        ib_c = jnp.minimum(ib, C - 1)
+
+        def tile_fn(t0):
+            # shifted row-order bank for rows [t0, t0 + tile)
+            pos = (
+                jnp.arange(tile, dtype=jnp.uint32)[None, :]
+                + t0
+                + sh[:, None]
+            ) % n
+            bank_tile = jnp.take_along_axis(
+                rows, jnp.take(G, pos) if fft_order else pos.astype(jnp.int32),
+                axis=1,
+            )  # (B, tile)
+
+            def step(regs, ins):
+                (bse, sa_, sb_, iar, iab, iac, ibr, ibb, ibc, dst_) = ins
+
+                def fetch(space, ir, ibk, ic):
+                    r = jnp.take(regs, ir, axis=0)
+                    bk = jnp.take(bank_tile, ibk, axis=0)
+                    cc = jnp.take(consts, ic)[:, None]
+                    return jnp.where(
+                        (space == 0)[:, None],
+                        r,
+                        jnp.where((space == 1)[:, None], bk, cc),
+                    )
+
+                va = fetch(sa_, iar, iab, iac)
+                vb = fetch(sb_, ibr, ibb, ibc)
+                # add/sub share one modular add (sub = add of negation)
+                vbn = jnp.where(
+                    (bse == 1)[:, None], m31.neg(vb), vb
+                )
+                addsub = m31.add(va, vbn)
+                mul_ = m31.mul(va, vb)
+                out = jnp.where((bse == 2)[:, None], mul_, addsub)
+                regs = regs.at[dst_].set(out)
+                return regs, None
+
+            regs0 = jnp.zeros((R, tile), jnp.uint32)
+            regs, _ = jax.lax.scan(
+                step,
+                regs0,
+                (base, sa, sb, ia_r, ia_b, ia_c, ib_r, ib_b, ib_c, dst),
+            )
+            return jnp.take(regs, out_regs, axis=0)
+
+        starts = jnp.arange(n_tiles, dtype=jnp.uint32) * tile
+        if n_tiles == 1:
+            outs = tile_fn(starts[0])[None]
+        else:
+            outs = jax.lax.map(tile_fn, starts)  # (n_tiles, n_out, tile)
+        return outs.transpose(1, 0, 2).reshape(n_out, n)
+
+    return jax.jit(f)
+
+
+def run_wide(stacks, src, sh, const_vals, plan: WidePlan, elog: int,
+             fft_order: bool = True):
+    """Execute a scheduled plan over (K, 2^elog) device column stacks.
+
+    ``src``/``sh``: (B,) bank source rows into the stack concatenation and
+    row shifts; ``const_vals``: runtime const vector (dynamic slots filled).
+    Returns (n_out, n) row-order uint32 limbs (n_out = len(plan.out_regs)).
+
+    The bank gather (stack concat + row select) happens OUTSIDE the jitted
+    kernel as cheap eager ops, so the kernel's shape signature is fully
+    bucketed: B (bank rows), S (steps), R (registers) and n_out all round
+    up to powers of two, letting all components of a proof share kernels.
+    """
+    n = 1 << elog
+    B = len(src)
+    Bb = _bucket(B, 16)
+    nz = [s for s in stacks if int(s.shape[0])]
+    ext_all = nz[0] if len(nz) == 1 else jnp.concatenate(nz, axis=0)
+    rows = jnp.take(ext_all, jnp.asarray(np.asarray(src, np.int32)), axis=0)
+    if Bb > B:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((Bb - B, n), jnp.uint32)], axis=0
+        )
+    shp = np.zeros(Bb, np.uint32)
+    shp[:B] = sh
+    S = plan.n_steps
+    Sb = _bucket(S, 16)
+    opc, ia, ib, dst = plan.opc, plan.ia, plan.ib, plan.dst
+    if Sb > S:
+        W = plan.width
+        pad_opc = np.full((Sb - S, W), _ADD * 9 + 2 * 3 + 2, np.int32)
+        zeros = np.zeros((Sb - S, W), np.int32)
+        opc = np.concatenate([opc, pad_opc])
+        ia = np.concatenate([ia, zeros])
+        ib = np.concatenate([ib, zeros])
+        dst = np.concatenate([dst, zeros])  # scratch register 0
+    n_out = len(plan.out_regs)
+    ob = _bucket(n_out, 4)
+    out_regs = plan.out_regs
+    if ob > n_out:
+        out_regs = np.concatenate(
+            [out_regs, np.zeros(ob - n_out, np.int32)]
+        )
+    R = _bucket(plan.n_regs, 16)
+    n_tiles = _pick_tiles(R, n)
+    fn = _wide_kernel(Bb, Sb, plan.width, R, ob, elog, fft_order, n_tiles)
+    out = fn(
+        rows,
+        jnp.asarray(shp),
+        jnp.asarray(const_vals),
+        jnp.asarray(opc),
+        jnp.asarray(ia),
+        jnp.asarray(ib),
+        jnp.asarray(dst),
+        jnp.asarray(out_regs),
+    )
+    return out[:n_out]
+
+
+def _bucket(x: int, floor: int = 16) -> int:
+    """Round to powers of two to maximize kernel reuse."""
+    return max(floor, 1 << (max(1, x) - 1).bit_length())

@@ -1,11 +1,13 @@
-"""Tape-compiled composition vs direct host-array evaluation.
+"""Wide-tape composition vs direct host-array evaluation.
 
-The tape interpreter (cairo_m_tpu/prover/stark/tape.py) must produce the
-exact alpha-chained, vanishing-divided composition contribution that a
-direct HostArrayOps evaluation of the same component yields on the extended
-domain.  Covers: trace/interaction/preprocessed banks, row offsets (the
-LogUp cumulative column at offset -1), constant folding/CSE, and register
-allocation, on components spanning the full tape-size range.
+The wide interpreter (cairo_m_tpu/prover/stark/wtape.py) must produce the
+exact weighted-sum (== Horner alpha-chain), vanishing-divided composition
+contribution that a direct HostArrayOps evaluation of the same component
+yields on the extended domain.  Covers: trace/interaction/preprocessed
+banks, row offsets (the LogUp cumulative column at offset -1), constant
+folding/CSE, dynamic constants, level scheduling and register allocation,
+on components spanning the full tape-size range — on BOTH a static segment
+and a real executed fibonacci witness (nonzero opcode rows).
 """
 
 import random
@@ -21,7 +23,7 @@ from cairo_m_tpu.isa.state import Segment, State
 from cairo_m_tpu.prover.adapter.adapter import import_from_runner_output
 from cairo_m_tpu.prover.components.registry import ComponentSet
 from cairo_m_tpu.prover.relations import Relations
-from cairo_m_tpu.prover.stark import domain, fft
+from cairo_m_tpu.prover.stark import domain, fft, framework
 from cairo_m_tpu.prover.stark.air import (
     EvalAtRow,
     HostArrayOps,
@@ -29,23 +31,21 @@ from cairo_m_tpu.prover.stark.air import (
     logup_shift_scalar,
 )
 from cairo_m_tpu.prover.stark.framework import (
+    _DynResolver,
+    composition_plan,
     gen_interaction_trace,
-    record_component_tape,
+    gen_interaction_trace_device,
 )
-from cairo_m_tpu.prover.stark.fri import qscalar_mul
-from cairo_m_tpu.prover.stark.tape import run_tape
+from cairo_m_tpu.prover.stark.fri import QONE, qscalar_mul
+from cairo_m_tpu.prover.stark.wtape import run_wide
 
 P = (1 << 31) - 1
 BLOWUP = 1
 
 
-@pytest.fixture(scope="module")
-def comps():
-    mem = {i: ((i + 1, 2 * i, 3 * i, (7 * i) % 11), 0, 0) for i in range(5)}
-    seg = Segment(initial_memory=mem, memory_trace=[], trace=[State(0, 0)])
-    pi = import_from_runner_output(seg, PublicAddressRanges.new(0, 0, 0))
+def _draw_relations(seed):
     rel = Relations()
-    rnd = random.Random(7)
+    rnd = random.Random(seed)
     for r in rel.all():
         r.z = tuple(rnd.randrange(P) for _ in range(4))
         a = tuple(rnd.randrange(P) for _ in range(4))
@@ -53,7 +53,40 @@ def comps():
         for _ in range(r.arity - 1):
             pw.append(qscalar_mul(pw[-1], a))
         r.alpha_powers = pw
-    cs = ComponentSet(rel)
+    return rel
+
+
+@pytest.fixture(scope="module")
+def comps():
+    mem = {i: ((i + 1, 2 * i, 3 * i, (7 * i) % 11), 0, 0) for i in range(5)}
+    seg = Segment(initial_memory=mem, memory_trace=[], trace=[State(0, 0)])
+    pi = import_from_runner_output(seg, PublicAddressRanges.new(0, 0, 0))
+    cs = ComponentSet(_draw_relations(7))
+    cs.write_traces(pi)
+    return cs
+
+
+@pytest.fixture(scope="module")
+def fib_comps():
+    """Components from a real executed fibonacci run: nonzero opcode rows
+    (kills the all-zero-trace blind spot of the static fixture)."""
+    from cairo_m_tpu.compiler import compile_cairo
+    from cairo_m_tpu.isa.abi_codec import InputValue
+    from cairo_m_tpu.vm.runner import run_cairo_program
+
+    src = """
+fn main(n: felt) -> felt {
+    let a = 0; let b = 1; let i = 0;
+    while i != n { let t = a + b; a = b; b = t; i = i + 1; }
+    return a;
+}
+"""
+    program = compile_cairo(src).program
+    res = run_cairo_program(program, "main", [InputValue.number(30)])
+    pi = import_from_runner_output(
+        res.vm.segments[0], res.public_address_ranges
+    )
+    cs = ComponentSet(_draw_relations(21))
     cs.write_traces(pi)
     return cs
 
@@ -114,8 +147,12 @@ def _check_component(comp):
     _, vinv = domain.vanishing_on_domain(l, elog)
     want = tuple(m31.mul_np(x, vinv) for x in acc)
 
-    tape, n_regs, consts, scratch, bank = record_component_tape(
-        comp, claimed, RANDOM_COEFF
+    plan = composition_plan(comp, comp.relations)
+    apows = [QONE]
+    for _ in range(len(ev.constraints)):
+        apows.append(qscalar_mul(apows[-1], RANDOM_COEFF))
+    consts = plan.const_values(
+        _DynResolver(comp.relations, shift=sh, apows=apows)
     )
 
     def ext_fft(col):
@@ -133,9 +170,9 @@ def _check_component(comp):
     )
     vrow = jnp.asarray(domain.to_fft_order(vinv)[None])
     Kt, Ki, Kp = text_s.shape[0], iext_s.shape[0], pext_s.shape[0]
-    src = np.zeros(len(bank), np.int32)
-    shv = np.zeros(len(bank), np.uint32)
-    for j, (kind, idx, off) in enumerate(bank):
+    src = np.zeros(len(plan.used_bank), np.int32)
+    shv = np.zeros(len(plan.used_bank), np.uint32)
+    for j, (kind, idx, off) in enumerate(plan.used_bank):
         if kind == "t":
             src[j] = idx
         elif kind == "i":
@@ -145,10 +182,7 @@ def _check_component(comp):
         else:
             src[j] = Kt + Ki + Kp
         shv[j] = (roll * off) % n
-    got = run_tape(
-        (text_s, iext_s, pext_s, vrow), src, shv, consts, tape, n_regs,
-        scratch, elog,
-    )
+    got = run_wide((text_s, iext_s, pext_s, vrow), src, shv, consts, plan, elog)
     for k in range(4):
         np.testing.assert_array_equal(
             np.asarray(got[k]), want[k], err_msg=f"{comp.name} limb {k}"
@@ -172,11 +206,21 @@ def test_tape_range_check_preprocessed(comps):
     _check_component(comps.range_check_8)
 
 
-def _check_interaction_device(comp):
-    from cairo_m_tpu.prover.stark.framework import (
-        gen_interaction_trace_device,
-    )
+def test_tape_fib_opcode_components(fib_comps):
+    """Tape vs host on REAL witness rows for every component fibonacci
+    exercises (nonzero traces — catches bank/column index bugs that all-zero
+    traces multiply away)."""
+    checked = 0
+    for comp in fib_comps.all:
+        if comp.trace_rows and np.any(
+            np.asarray(comp.trace_rows[0], np.uint32)
+        ):
+            _check_component(comp)
+            checked += 1
+    assert checked >= 5  # memory, merkle, poseidon2 + several opcodes
 
+
+def _check_interaction_device(comp):
     pp = comp.preprocessed_columns() if comp.n_preprocessed_cols else ()
     want_cols, want_claimed = gen_interaction_trace(comp, comp.trace_rows, pp)
     st = jnp.asarray(np.stack(comp.trace_rows))
@@ -186,7 +230,9 @@ def _check_interaction_device(comp):
         else jnp.zeros((0, 1 << comp.log_size), jnp.uint32)
     )
     got_stacked, got_claimed = gen_interaction_trace_device(comp, st, ps)
-    assert got_claimed == tuple(int(x) for x in want_claimed)
+    assert tuple(int(x) for x in np.asarray(got_claimed)) == tuple(
+        int(x) for x in want_claimed
+    )
     want_stacked = np.stack(
         [np.asarray(limb) for pair in want_cols for limb in pair]
     )
@@ -208,3 +254,12 @@ def test_interaction_device_u32_div(comps):
 
 def test_interaction_device_range_check(comps):
     _check_interaction_device(comps.range_check_8)
+
+
+def test_interaction_device_fib(fib_comps):
+    """Device interaction trace vs host golden on real fibonacci rows."""
+    for comp in fib_comps.all:
+        if comp.trace_rows and np.any(
+            np.asarray(comp.trace_rows[0], np.uint32)
+        ):
+            _check_interaction_device(comp)
