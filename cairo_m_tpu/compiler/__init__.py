@@ -10,9 +10,10 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from .codegen import ModuleCompiler
+from .diagnostics import Diagnostic, DiagnosticBag
 from .lexer import LexError
 from .parser import ParseError, parse
-from .sem import SemanticError, analyze
+from .sem import Analyzer, SemanticError, analyze
 
 
 @dataclass
@@ -22,30 +23,29 @@ class CompilerOptions:
 
 
 @dataclass
-class Diagnostic:
-    severity: str
-    message: str
-    file_path: str = ""
-    line: int = 0
-
-
-@dataclass
 class CompilerOutput:
     program: object  # isa.program.Program
     diagnostics: list = field(default_factory=list)
 
 
 class CompilationError(Exception):
-    def __init__(self, diagnostics):
+    def __init__(self, diagnostics, source: str = ""):
         super().__init__("; ".join(d.message for d in diagnostics))
         self.diagnostics = diagnostics
+        self.source = source
+
+    def render(self) -> str:
+        return "\n\n".join(d.render(self.source) for d in self.diagnostics)
 
 
 def compile_cairo(source: str, name: str = "<input>", options: CompilerOptions = None) -> CompilerOutput:
     options = options or CompilerOptions()
+    bag = DiagnosticBag(file_path=name, source=source)
     try:
         ast = parse(source)
-        tm = analyze(ast)
+        tm = Analyzer(ast).run_collect(bag)
+        if tm is None:
+            raise CompilationError(bag.items, source)
         if options.optimization_level != "none":
             from .passes import optimize_module
 
@@ -69,10 +69,13 @@ def compile_cairo(source: str, name: str = "<input>", options: CompilerOptions =
                 except Unsupported:
                     pass
         program = ModuleCompiler(tm, mir_codes).compile()
-        return CompilerOutput(program, [])
+        return CompilerOutput(program, list(bag.items))
+    except CompilationError:
+        raise
     except (LexError, ParseError) as e:
-        raise CompilationError([Diagnostic("error", str(e), name)]) from e
+        line = getattr(e, "line", 0)
+        bag.error(line, str(e))
+        raise CompilationError(bag.items, source) from e
     except SemanticError as e:
-        raise CompilationError(
-            [Diagnostic("error", e.msg, name, e.line)]
-        ) from e
+        bag.error(e.line, e.msg)
+        raise CompilationError(bag.items, source) from e

@@ -199,7 +199,14 @@ class ConstDef:
 
 
 @dataclass
+class UseStmt:
+    path: list  # segments, e.g. ["math", "utils", "square"]
+    line: int = 0
+
+
+@dataclass
 class Module:
     functions: list = field(default_factory=list)
     structs: list = field(default_factory=list)
     consts: list = field(default_factory=list)
+    uses: list = field(default_factory=list)  # UseStmt

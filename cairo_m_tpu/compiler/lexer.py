@@ -26,7 +26,7 @@ class LexError(Exception):
     pass
 
 
-def tokenize(src: str):
+def tokenize(src: str, keep_comments: bool = False):
     toks = []
     i, line, col = 0, 1, 1
     n = len(src)
@@ -43,13 +43,18 @@ def tokenize(src: str):
             continue
         if src.startswith("//", i):
             j = src.find("\n", i)
-            i = n if j < 0 else j
+            j = n if j < 0 else j
+            if keep_comments:
+                toks.append(Token("comment", src[i:j].rstrip(), line, col))
+            i = j
             continue
         if src.startswith("/*", i):
             j = src.find("*/", i)
             if j < 0:
                 raise LexError(f"{line}:{col}: unterminated block comment")
             seg = src[i : j + 2]
+            if keep_comments:
+                toks.append(Token("comment", seg, line, col))
             line += seg.count("\n")
             i = j + 2
             continue

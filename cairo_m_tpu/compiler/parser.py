@@ -61,9 +61,15 @@ class Parser:
             elif self.at("kw", "const"):
                 mod.consts.append(self.const())
             elif self.at("kw", "use"):
-                # single-file builds: consume `use path::to::thing;`
+                # `use path::to::item;` — recorded for project builds
+                # (compiler/project.py); single-file builds ignore it
+                t0 = self.next()
+                segs = []
                 while not self.accept("op", ";"):
-                    self.next()
+                    t = self.next()
+                    if t.kind in ("ident", "kw"):
+                        segs.append(t.text)
+                mod.uses.append(A.UseStmt(segs, t0.line))
             else:
                 t = self.peek()
                 raise ParseError(f"{t.line}:{t.col}: unexpected {t.text!r}")

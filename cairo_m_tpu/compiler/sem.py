@@ -140,6 +140,48 @@ class Analyzer:
             self.check_function(f)
         return TypedModule(self.module, self.structs, self.functions, self.consts)
 
+    def run_collect(self, bag) -> TypedModule | None:
+        """Validator-battery mode: accumulate one diagnostic per top-level
+        item that fails (recovering past it) instead of aborting at the
+        first error (reference semantic/src/validation/).  Returns the
+        TypedModule when everything checked, else None."""
+        try:
+            for s in self.module.structs:
+                if s.name in self.structs:
+                    raise SemanticError(s.line, f"duplicate struct {s.name}")
+                self.structs[s.name] = None
+            for s in self.module.structs:
+                self.structs[s.name] = Type(
+                    "struct",
+                    name=s.name,
+                    members=tuple(
+                        (n, self.resolve(t, s.line)) for n, t in s.fields
+                    ),
+                )
+            for c in self.module.consts:
+                self.consts[c.name] = self._const_eval(c.value)
+            for f in self.module.functions:
+                if f.name in self.functions:
+                    raise SemanticError(f.line, f"duplicate function {f.name}")
+                params = [
+                    (p.name, self.resolve(p.ty, f.line)) for p in f.params
+                ]
+                ret = self.resolve(f.ret, f.line) if f.ret else UNIT
+                self.functions[f.name] = FuncSig(f.name, params, ret)
+        except SemanticError as e:
+            bag.error(e.line, e.msg)
+            return None
+        ok = True
+        for f in self.module.functions:
+            try:
+                self.check_function(f)
+            except SemanticError as e:
+                bag.error(e.line, e.msg)
+                ok = False
+        if not ok:
+            return None
+        return TypedModule(self.module, self.structs, self.functions, self.consts)
+
     def resolve(self, te: A.TypeExpr, line) -> Type:
         k = te.kind
         if k in ("felt", "bool", "u32", "unit"):

@@ -28,8 +28,16 @@ from ...isa.instruction import SPECS_BY_OPCODE
 
 P = (1 << 31) - 1
 LOG_SIZE_RC_20 = 20
-RC20_LIMIT = (1 << LOG_SIZE_RC_20) - 1
+RC20_LIMIT = (1 << LOG_SIZE_RC_20) - 1  # production value (runner lib.rs:15)
 MAX_OPERANDS = 8  # u32 div-rem fp fp: 4 u32 operands = 8 limb accesses
+
+
+def rc_limit() -> int:
+    """Clock range-check span; reads the active ProtocolScale (test runs
+    shrink it, see prover/config.py)."""
+    from ..config import SCALE
+
+    return SCALE.rc_limit()
 
 
 class VmImportError(Exception):
@@ -107,11 +115,12 @@ def import_from_runner_output(segment, public_address_ranges) -> ProverInput:
                 initial_memory[addr] = (value, 0, 1)
                 prev_value = value
         delta = clock - prev_clk
-        if delta > RC20_LIMIT:
-            num_steps = (delta - 1) // RC20_LIMIT
+        limit = rc_limit()
+        if delta > limit:
+            num_steps = (delta - 1) // limit
             for _ in range(num_steps):
                 clock_update_data.append((addr, prev_clk, prev_value))
-                prev_clk += RC20_LIMIT
+                prev_clk += limit
         return prev_clk, prev_value
 
     clock = 1

@@ -14,7 +14,7 @@ import numpy as np
 from ...field import m31
 from ...hash.poseidon2 import TREE_HEIGHT
 from ...hash.poseidon2_params import DEFAULT_PARAMS, FULL_ROUNDS, PARTIAL_ROUNDS, T
-from ..adapter.adapter import RC20_LIMIT
+from ..adapter.adapter import rc_limit
 from ..stark.air import Component
 
 P = (1 << 31) - 1
@@ -199,7 +199,7 @@ class ClockUpdateComponent(Component):
         ev.add_constraint(enabler * (1 - enabler))
         rel = self.relations.memory
         ev.add_to_relation(rel, -enabler, [addr, prev_clk] + vs)
-        ev.add_to_relation(rel, enabler, [addr, prev_clk + RC20_LIMIT] + vs)
+        ev.add_to_relation(rel, enabler, [addr, prev_clk + rc_limit()] + vs)
         ev.finalize_logup_in_pairs()
 
 
@@ -376,16 +376,12 @@ class RangeCheckComponent(Component):
     n_trace_cols = 1
     n_preprocessed_cols = 1
 
-    def __init__(self, relations, bits: int):
+    def __init__(self, relations, bits: int, rel_name: str = None):
         self.relations = relations
         self.bits = bits
-        self.name = f"range_check_{bits}"
+        self.name = rel_name or f"range_check_{bits}"
         self.log_size = bits
-        self.rel = {
-            8: relations.range_check_8,
-            16: relations.range_check_16,
-            20: relations.range_check_20,
-        }[bits]
+        self.rel = getattr(relations, self.name)
 
     def n_lookups(self):
         return 1
@@ -406,7 +402,13 @@ class RangeCheckComponent(Component):
         ev.finalize_logup_in_pairs()
 
 
-BITWISE_LOG_SIZE = 18  # 3 * 2^16 rounded up (preprocessed/bitwise.rs:25-100)
+BITWISE_LOG_SIZE = 18  # production: 3 * 2^16 rounded up (preprocessed/bitwise.rs:25-100)
+
+
+def bitwise_log_size() -> int:
+    from ..config import SCALE
+
+    return SCALE.bitwise_log
 
 
 class BitwiseComponent(Component):
@@ -419,10 +421,10 @@ class BitwiseComponent(Component):
     name = "bitwise"
     n_trace_cols = 1
     n_preprocessed_cols = 4
-    log_size = BITWISE_LOG_SIZE
 
     def __init__(self, relations):
         self.relations = relations
+        self.log_size = bitwise_log_size()
 
     def n_lookups(self):
         return 1
@@ -432,7 +434,7 @@ class BitwiseComponent(Component):
         return (op << 16) + (a << 8) + b
 
     def preprocessed_columns(self):
-        n = 1 << BITWISE_LOG_SIZE
+        n = 1 << self.log_size
         idx = np.arange(n, dtype=np.uint32)
         op = idx >> 16
         a = (idx >> 8) & 0xFF
@@ -449,8 +451,8 @@ class BitwiseComponent(Component):
         ]
 
     def write_trace(self, multiplicities: np.ndarray):
-        assert len(multiplicities) == 1 << BITWISE_LOG_SIZE
-        self.non_padded_length = 3 << 16
+        assert len(multiplicities) == 1 << self.log_size
+        self.non_padded_length = min(3 << 16, 1 << self.log_size)
         self.trace_rows = [multiplicities.astype(np.uint32)]
         return self
 

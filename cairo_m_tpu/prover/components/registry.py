@@ -39,9 +39,13 @@ class ComponentSet:
         self.merkle = MerkleComponent(relations)
         self.clock_update = ClockUpdateComponent(relations)
         self.poseidon2 = Poseidon2Component(relations)
+        from ..config import SCALE
+
         self.range_check_8 = RangeCheckComponent(relations, 8)
         self.range_check_16 = RangeCheckComponent(relations, 16)
-        self.range_check_20 = RangeCheckComponent(relations, 20)
+        self.range_check_20 = RangeCheckComponent(
+            relations, SCALE.rc_big_bits, "range_check_20"
+        )
         self.bitwise = BitwiseComponent(relations)
         self.opcodes = make_opcode_components(relations)  # list, opcode order
         self.all = [
@@ -66,12 +70,17 @@ class ComponentSet:
             oc.write_trace(prover_input)
         # count range-check / bitwise consumptions generically
         counted = [self.memory, self.merkle, self.clock_update, self.poseidon2] + self.opcodes
-        rc = {8: np.zeros(1 << 8, np.uint64), 16: np.zeros(1 << 16, np.uint64), 20: np.zeros(1 << 20, np.uint64)}
-        bw = np.zeros(1 << BITWISE_LOG_SIZE, np.uint64)
+        big = self.range_check_20.bits
+        rc = {
+            8: np.zeros(1 << 8, np.uint64),
+            16: np.zeros(1 << 16, np.uint64),
+            big: np.zeros(1 << big, np.uint64),
+        }
+        bw = np.zeros(1 << self.bitwise.log_size, np.uint64)
         rel_to_bits = {
             id(self.relations.range_check_8): 8,
             id(self.relations.range_check_16): 16,
-            id(self.relations.range_check_20): 20,
+            id(self.relations.range_check_20): big,
         }
         for comp in counted:
             pp = comp.preprocessed_columns() if comp.n_preprocessed_cols else ()
@@ -101,7 +110,7 @@ class ComponentSet:
                     np.add.at(bw, idx[sel], weight[sel])
         self.range_check_8.write_trace((rc[8] % P).astype(np.uint32))
         self.range_check_16.write_trace((rc[16] % P).astype(np.uint32))
-        self.range_check_20.write_trace((rc[20] % P).astype(np.uint32))
+        self.range_check_20.write_trace((rc[big] % P).astype(np.uint32))
         self.bitwise.write_trace((bw % P).astype(np.uint32))
 
     # -- column enumeration for the PCS phases --

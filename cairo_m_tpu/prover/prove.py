@@ -23,7 +23,6 @@ from dataclasses import dataclass
 import numpy as np
 import jax.numpy as jnp
 
-from ..field.qm31 import qinv_np
 from .components.registry import ComponentSet
 from .config import REGULAR_96_BITS
 from .public_data import PublicData
@@ -64,13 +63,17 @@ class Proof:
 
 
 def _fftify(col_np, log_size):
-    """Row-order numpy column -> fft-order device column."""
-    return domain.to_fft_order(jnp.asarray(col_np))
+    """Row-order numpy column -> fft-order device column (sharded over the
+    active mesh's domain axis, if any — parallel/sharded.py)."""
+    from ..parallel.sharded import maybe_shard
+
+    return domain.to_fft_order(maybe_shard(jnp.asarray(col_np)))
 
 
 def _qscalar_inv(v):
-    r = qinv_np(tuple(np.array([x], np.uint32) for x in v))
-    return tuple(int(x[0]) for x in r)
+    from .stark.fri import qscalar_inv
+
+    return qscalar_inv(v)
 
 
 def oods_point_and_prevs(channel, log_sizes):
@@ -163,8 +166,11 @@ def prove_cairo_m(prover_input, config=REGULAR_96_BITS, timing=None):
     # order is a pure device slicing) and by the witness tape kernels below.
     for comp in comps.all:
         channel.mix_u64(comp.log_size)
+    from ..parallel.sharded import maybe_shard
+
     trace_stacks = [
-        jnp.asarray(np.stack(comp.trace_rows)) for comp in comps.all
+        maybe_shard(jnp.asarray(np.stack(comp.trace_rows)))
+        for comp in comps.all
     ]
     scheme.commit(
         [
@@ -186,7 +192,7 @@ def prove_cairo_m(prover_input, config=REGULAR_96_BITS, timing=None):
     for comp, st in zip(comps.all, trace_stacks):
         pp = comp.preprocessed_columns() if comp.n_preprocessed_cols else ()
         pre_stack = (
-            jnp.asarray(np.stack(pp))
+            maybe_shard(jnp.asarray(np.stack(pp)))
             if pp
             else jnp.zeros((0, 1 << comp.log_size), jnp.uint32)
         )

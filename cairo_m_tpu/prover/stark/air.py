@@ -417,7 +417,9 @@ def count_lookups(comp) -> int:
     The single source of truth for interaction-column counts — a
     hand-maintained formula drifts the moment a component adds a
     range-check or bitwise lookup in its extra constraints."""
-    key = (type(comp).__name__, comp.name)
+    from ...prover.config import SCALE
+
+    key = (type(comp).__name__, comp.name, SCALE.key())
     if key in _LOOKUP_COUNT_CACHE:
         return _LOOKUP_COUNT_CACHE[key]
     rel = comp.relations

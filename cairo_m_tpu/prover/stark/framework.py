@@ -187,7 +187,9 @@ class _DynResolver:
 def interaction_plan(comp, relations):
     """Cached wide plan computing, per relation entry: numerator limbs 0-3
     then denominator limbs 0-3 (8 outputs per entry)."""
-    key = ("interaction", comp.name, comp.log_size)
+    from ...prover.config import SCALE
+
+    key = ("interaction", comp.name, comp.log_size, SCALE.key())
     hit = _PLAN_CACHE.get(key)
     if hit is not None:
         return hit
@@ -337,7 +339,9 @@ _COUNT_CACHE: dict = {}
 
 def count_constraints(comp) -> int:
     # comp.name (not just the class) — all opcode components share one class
-    key = (type(comp).__name__, comp.name, comp.log_size)
+    from ...prover.config import SCALE
+
+    key = (type(comp).__name__, comp.name, comp.log_size, SCALE.key())
     if key in _COUNT_CACHE:
         return _COUNT_CACHE[key]
     rel = comp.relations
@@ -368,7 +372,9 @@ def composition_plan(comp, relations):
     + the vanishing division.  Bank kinds: 't' trace, 'i' interaction limb,
     'p' preprocessed, 'v' vanishing-inverse row.  Per-proof scalars (drawn
     relation parameters, logup shift, alpha powers) are dynamic consts."""
-    key = ("composition", comp.name, comp.log_size)
+    from ...prover.config import SCALE
+
+    key = ("composition", comp.name, comp.log_size, SCALE.key())
     hit = _PLAN_CACHE.get(key)
     if hit is not None:
         return hit
@@ -594,8 +600,9 @@ def evaluate_at_point(
 
 
 def _qscalar_inv(v):
-    r = qinv_np(tuple(np.array([x], np.uint32) for x in v))
-    return tuple(int(x[0]) for x in r)
+    from .fri import qscalar_inv
+
+    return qscalar_inv(v)
 
 
 def vanishing_at_qpoint(log_size: int, z):

@@ -56,15 +56,47 @@ class FriConfig:
 
 # ---------------------------------------------------------------------------
 # scalar QM31 helpers (host, Python-int tuples)
+#
+# Pure-int formulas (QM31 = CM31[u]/(u^2 - (2+i)), CM31 = M31[i]/(i^2+1)):
+# the verifier evaluates ~80 queries x ~20 layers x dozens of openings of
+# these per proof, so they must not allocate numpy arrays per operation
+# (cross-checked against field/qm31.py in tests/test_field.py).
 # ---------------------------------------------------------------------------
 
 
+def _cmul(p0, p1, q0, q1):
+    return (p0 * q0 - p1 * q1) % P, (p0 * q1 + p1 * q0) % P
+
+
 def qscalar_mul(a, b):
-    r = qmul_np(
-        tuple(np.array([x], np.uint32) for x in a),
-        tuple(np.array([x], np.uint32) for x in b),
+    a0, a1, a2, a3 = (int(x) for x in a)
+    b0, b1, b2, b3 = (int(x) for x in b)
+    ac0, ac1 = _cmul(a0, a1, b0, b1)
+    bd0, bd1 = _cmul(a2, a3, b2, b3)
+    ad0, ad1 = _cmul(a0, a1, b2, b3)
+    bc0, bc1 = _cmul(a2, a3, b0, b1)
+    # (2+i) * bd
+    rbd0, rbd1 = (2 * bd0 - bd1) % P, (bd0 + 2 * bd1) % P
+    return (
+        (ac0 + rbd0) % P,
+        (ac1 + rbd1) % P,
+        (ad0 + bc0) % P,
+        (ad1 + bc1) % P,
     )
-    return tuple(int(x[0]) for x in r)
+
+
+def qscalar_inv(a):
+    """QM31 scalar inverse: (b + c*u)^-1 = (b - c*u) / (b^2 - (2+i) c^2)."""
+    b0, b1, c0, c1 = (int(x) for x in a)
+    s0, s1 = _cmul(b0, b1, b0, b1)
+    t0, t1 = _cmul(c0, c1, c0, c1)
+    d0, d1 = (s0 - (2 * t0 - t1)) % P, (s1 - (t0 + 2 * t1)) % P
+    n = (d0 * d0 + d1 * d1) % P
+    ninv = pow(n, P - 2, P)
+    di0, di1 = (d0 * ninv) % P, (P - d1) * ninv % P
+    o0, o1 = _cmul(b0, b1, di0, di1)
+    o2, o3 = _cmul(P - c0, P - c1, di0, di1)
+    return (o0, o1, o2, o3)
 
 
 def qscalar_add(a, b):
@@ -86,7 +118,9 @@ QZERO = (0, 0, 0, 0)
 def _combine(cols, weight):
     """sum_j weight^(m-1-j) * cols[j], pointwise (device)."""
     acc = cols[0]
-    w = tuple(jnp.uint32(int(x)) for x in weight)
+    w = tuple(weight[k] for k in range(4)) if hasattr(weight, "shape") else tuple(
+        jnp.uint32(int(x)) for x in weight
+    )
     for c in cols[1:]:
         acc = qadd(qmul(acc, w), c)
     return acc
@@ -98,8 +132,53 @@ def _fold_pairs_dev(col, inv_twiddle, alpha):
     f0 = qmul_m31(qadd(a, b), jnp.uint32(INV2))
     diff = tuple(m31.sub(x, y) for x, y in zip(a, b))
     f1 = qmul_m31(qmul_m31(diff, inv_twiddle), jnp.uint32(INV2))
-    adev = tuple(jnp.uint32(int(x)) for x in alpha)
+    adev = (
+        tuple(alpha[k] for k in range(4))
+        if hasattr(alpha, "shape")
+        else tuple(jnp.uint32(int(x)) for x in alpha)
+    )
     return qadd(f0, qmul(f1, adev))
+
+
+from functools import lru_cache as _lru_cache
+
+import jax as _jax
+
+
+def _q4(v):
+    return jnp.asarray(np.array(v, np.uint32))
+
+
+@_lru_cache(maxsize=None)
+def _first_fold_jit(n_cols: int, log: int):
+    """jit: (n_cols, 4, 2^log) stacked cols + y_inv + alpha-squared + alpha
+    -> (4, 2^(log-1)) folded layer."""
+
+    def f(stack, y_inv, a_sq, alpha):
+        cols = [tuple(stack[i, k] for k in range(4)) for i in range(n_cols)]
+        return jnp.stack(_fold_pairs_dev(_combine(cols, a_sq), y_inv, alpha))
+
+    return _jax.jit(f)
+
+
+@_lru_cache(maxsize=None)
+def _fold_line_jit(log: int, fold_in_cols: int):
+    """jit: one line fold (+ optional circle fold-in of new columns):
+    (4, 2^log) layer -> (4, 2^(log-1))."""
+
+    def f(layer, x_inv, alpha, *rest):
+        folded = _fold_pairs_dev(tuple(layer[k] for k in range(4)), x_inv, alpha)
+        if fold_in_cols:
+            stack, y_inv_k, a_sq = rest
+            cols = [
+                tuple(stack[i, k] for k in range(4))
+                for i in range(fold_in_cols)
+            ]
+            fin = _fold_pairs_dev(_combine(cols, a_sq), y_inv_k, alpha)
+            folded = qadd(qmul(folded, tuple(a_sq[k] for k in range(4))), fin)
+        return jnp.stack(folded)
+
+    return _jax.jit(f)
 
 
 def _fold_pair_host(v0, v1, inv_tw, alpha):
@@ -173,30 +252,37 @@ class FriProver:
         alpha0 = channel.draw_felt()
         a0sq = qscalar_mul(alpha0, alpha0)
         y_inv = jnp.asarray(domain.fri_twiddles_bitrev(self.max_log)[0])
-        layer = _fold_pairs_dev(_combine(by_log[self.max_log], a0sq), y_inv, alpha0)
+        top = jnp.stack(
+            [jnp.stack(c) for c in by_log[self.max_log]]
+        )  # (n_cols, 4, n)
+        layer = _first_fold_jit(int(top.shape[0]), self.max_log)(
+            top, y_inv, _q4(a0sq), _q4(alpha0)
+        )  # (4, n/2)
         k = self.max_log - 1
         while k > last:
-            tree = merkle.commit(list(layer))
+            tree = merkle.commit(layer)
             self.inner_trees.append((k, tree))
             channel.mix_root(tree.root())
             alpha = channel.draw_felt()
             x_inv = jnp.asarray(
                 domain.fri_twiddles_bitrev(self.max_log)[self.max_log - k]
             )
-            layer = _fold_pairs_dev(layer, x_inv, alpha)
-            k -= 1
-            if by_log.get(k + 1):
+            fold_in = by_log.get(k)  # columns entering at the NEXT size
+            if fold_in:
                 asq = qscalar_mul(alpha, alpha)
-                y_inv_k = jnp.asarray(domain.fri_twiddles_bitrev(k + 1)[0])
-                folded_in = _fold_pairs_dev(
-                    _combine(by_log[k + 1], asq), y_inv_k, alpha
+                y_inv_k = jnp.asarray(domain.fri_twiddles_bitrev(k)[0])
+                stack = jnp.stack([jnp.stack(c) for c in fold_in])
+                layer = _fold_line_jit(k, int(stack.shape[0]))(
+                    layer, x_inv, _q4(alpha), stack, y_inv_k, _q4(asq)
                 )
-                adev = tuple(jnp.uint32(int(x)) for x in asq)
-                layer = qadd(qmul(layer, adev), folded_in)
+            else:
+                layer = _fold_line_jit(k, 0)(layer, x_inv, _q4(alpha))
+            k -= 1
 
-        host = [np.asarray(c) for c in layer]
+        host = np.asarray(layer)
         self.last_layer = [
-            tuple(int(host[j][i]) for j in range(4)) for i in range(host[0].shape[0])
+            tuple(int(host[j][i]) for j in range(4))
+            for i in range(host.shape[1])
         ]
         channel.mix_felts(self.last_layer)
 

@@ -242,6 +242,17 @@ class CommitmentSchemeProver:
 
     def prove_values(self, sample_points) -> PcsProof:
         """sample_points: per phase, per column, list of QM31 circle points."""
+        import os, time
+
+        dbg = os.environ.get("CM_DEBUG_PHASES")
+        t0 = time.time()
+
+        def _t(msg):
+            nonlocal t0
+            if dbg:
+                print(f"  [pcs +{time.time()-t0:6.2f}s] {msg}", flush=True)
+            t0 = time.time()
+
         channel = self.channel
         for phase, pts in zip(self.phases, sample_points):
             assert len(pts) == len(phase.trace_logs), (
@@ -252,6 +263,7 @@ class CommitmentSchemeProver:
         sampled = [
             phase.sample(pts) for phase, pts in zip(self.phases, sample_points)
         ]
+        _t("sample")
         flat = [
             v
             for phase_vals in sampled
@@ -293,11 +305,14 @@ class CommitmentSchemeProver:
             (l, quotients.quotient_column_device(l, batches, stacks_by_log[l]))
             for l, batches in sorted(grouped.items(), reverse=True)
         ]
+        _t("quotients (dispatch)")
         # 3. FRI commit
         fri_prover = fri.FriProver(channel, quotient_cols, self.config.fri_config)
+        _t("fri commit")
         # 4. PoW
         nonce = channel.grind(self.config.pow_bits)
         channel.mix_u64(nonce)
+        _t("pow grind")
         # 5. queries
         max_log = fri_prover.max_log
         queries = channel.draw_queries(self.config.fri_config.n_queries, max_log)
@@ -313,7 +328,9 @@ class CommitmentSchemeProver:
         decommitments = [{} for _ in self.phases]
         for (pi_, cl), dec in zip(plan_keys, decs):
             decommitments[pi_][cl] = dec
+        _t("phase decommit")
         fri_proof = fri_prover.decommit(queries)
+        _t("fri decommit")
         return PcsProof(
             [p.roots() for p in self.phases],
             sampled,

@@ -193,7 +193,6 @@ def quotient_value_host(log_size: int, batches, pos: int):
 
 
 def _qscalar_inv(v):
-    from ...field.qm31 import qinv_np
+    from .fri import qscalar_inv
 
-    r = qinv_np(tuple(np.array([x], np.uint32) for x in v))
-    return tuple(int(x[0]) for x in r)
+    return qscalar_inv(v)

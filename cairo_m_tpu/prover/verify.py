@@ -33,8 +33,9 @@ class VerificationError(Exception):
 
 
 @lru_cache(maxsize=4)
-def _expected_preprocessed_roots(blowup: int):
-    """Recompute the deterministic preprocessed commitment."""
+def _expected_preprocessed_roots(blowup: int, scale_key=None):
+    """Recompute the deterministic preprocessed commitment (scale_key keys
+    the cache on the active ProtocolScale)."""
     relations = Relations()
     comps = ComponentSet(relations)
     pre_cols, _ = comps.preprocessed_columns()
@@ -62,7 +63,11 @@ def verify_cairo_m(proof: Proof, config=REGULAR_96_BITS) -> bool:
     scheme = pcs.CommitmentSchemeVerifier(channel, config)
 
     # phase 0: preprocessed (recomputed expectation)
-    expected = _expected_preprocessed_roots(config.fri_config.log_blowup_factor)
+    from .config import SCALE
+
+    expected = _expected_preprocessed_roots(
+        config.fri_config.log_blowup_factor, SCALE.key()
+    )
     if proof.pcs_proof.phase_roots[0] != expected:
         raise VerificationError("preprocessed commitment mismatch")
     pre_cols_meta, pre_owners = comps.preprocessed_columns()

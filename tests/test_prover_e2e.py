@@ -1,0 +1,148 @@
+"""End-to-end prove+verify of EXECUTED programs through the full PCS
+(reference crates/prover/tests/prover.rs:116,204-243,247,324 — VERDICT r2
+items #3 and #4).
+
+Uses the test protocol scale (small rc20/bitwise tables) and test PCS
+config so each proof runs in seconds on the CPU mesh; the production-scale
+path is exercised by bench.py on real hardware.
+"""
+
+import numpy as np
+import pytest
+
+from cairo_m_tpu.compiler import compile_cairo
+from cairo_m_tpu.isa.abi_codec import InputValue
+from cairo_m_tpu.prover.adapter.adapter import import_from_runner_output
+from cairo_m_tpu.prover.config import (
+    set_production_scale,
+    set_test_scale,
+    test_config,
+)
+from cairo_m_tpu.prover.prove import Proof, prove_cairo_m
+from cairo_m_tpu.prover.verify import VerificationError, verify_cairo_m
+from cairo_m_tpu.vm.runner import RunnerOptions, run_cairo_program
+
+CFG = test_config(n_queries=8, pow_bits=2)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _test_scale():
+    set_test_scale(rc_big_bits=10, bitwise_log=8)
+    yield
+    set_production_scale()
+
+
+FIB = """
+fn main(n: felt) -> felt {
+    let a = 0; let b = 1; let i = 0;
+    while i != n { let t = a + b; a = b; b = t; i = i + 1; }
+    return a;
+}
+"""
+
+
+def _prove_segment(seg, ranges):
+    pi = import_from_runner_output(seg, ranges)
+    proof = prove_cairo_m(pi, CFG)
+    assert verify_cairo_m(proof, CFG)
+    return pi, proof
+
+
+def test_prove_verify_fibonacci():
+    """prover.rs:116 — fibonacci through the full pipeline."""
+    program = compile_cairo(FIB).program
+    res = run_cairo_program(program, "main", [InputValue.number(100)])
+    pi, proof = _prove_segment(res.vm.segments[0], res.public_address_ranges)
+    # proof JSON roundtrip (serialization.rs:40)
+    import json
+
+    rt = Proof.from_json_obj(json.loads(json.dumps(proof.to_json_obj())))
+    assert verify_cairo_m(rt, CFG)
+
+
+def test_prove_verify_u32_stress():
+    """u32 arithmetic + comparisons through the full pipeline (rc16/rc8
+    LogUp stress; prover.rs:324 analogue)."""
+    src = """
+fn main(a: u32, b: u32) -> u32 {
+    let s = a + b;
+    let p = s * 3;
+    let q = p / b;
+    let r = p % 7;
+    let c = 0;
+    if a < b { c = 1; }
+    let d = q - b + r;
+    if a == b { d = d + 1u32; }
+    return d + s;
+}
+"""
+    program = compile_cairo(src).program
+    res = run_cairo_program(
+        program, "main", [InputValue.number(1234567), InputValue.number(89)]
+    )
+    _prove_segment(res.vm.segments[0], res.public_address_ranges)
+
+
+def test_prove_verify_recursion():
+    """prover.rs:176 — recursive calls exercise call/ret components."""
+    src = """
+fn sum(n: felt) -> felt {
+    if n == 0 { return 0; }
+    return n + sum(n - 1);
+}
+fn main(n: felt) -> felt { return sum(n); }
+"""
+    program = compile_cairo(src).program
+    res = run_cairo_program(program, "main", [InputValue.number(25)])
+    _prove_segment(res.vm.segments[0], res.public_address_ranges)
+
+
+def test_continuation_root_chain():
+    """prover.rs:204-243 — run with a small segment cap, prove EVERY
+    segment, check final_root(n) == initial_root(n+1), verify each."""
+    program = compile_cairo(FIB).program
+    res = run_cairo_program(
+        program, "main", [InputValue.number(60)],
+        options=RunnerOptions(max_steps=120),
+    )
+    segs = res.vm.segments
+    assert len(segs) >= 3, f"only {len(segs)} segments"
+    roots = []
+    for seg in segs:
+        pi, proof = _prove_segment(seg, res.public_address_ranges)
+        roots.append(
+            (pi.merkle_trees.initial_root, pi.merkle_trees.final_root)
+        )
+    for k in range(len(roots) - 1):
+        assert roots[k][1] == roots[k + 1][0], (
+            f"segment {k} final root != segment {k+1} initial root"
+        )
+
+
+def test_clock_update_nonzero_rows():
+    """prover.rs:144-172 analogue at test scale: a trace whose clock span
+    exceeds the (shrunk) rc20 limit forces real clock_update rows."""
+    program = compile_cairo(FIB).program
+    # ~8 steps/iter * 400 iters * 3 clocks/step >> 2^10 - 1
+    res = run_cairo_program(program, "main", [InputValue.number(400)])
+    pi = import_from_runner_output(
+        res.vm.segments[0], res.public_address_ranges
+    )
+    assert len(pi.clock_update_data) > 0, "no clock_update rows generated"
+    proof = prove_cairo_m(pi, CFG)
+    assert verify_cairo_m(proof, CFG)
+
+
+def test_tampered_proof_rejected():
+    """Flipping one sampled value must fail verification."""
+    program = compile_cairo(FIB).program
+    res = run_cairo_program(program, "main", [InputValue.number(30)])
+    pi = import_from_runner_output(
+        res.vm.segments[0], res.public_address_ranges
+    )
+    proof = prove_cairo_m(pi, CFG)
+    v = list(proof.pcs_proof.sampled_values[1][0][0])
+    v[0] = (v[0] + 1) % ((1 << 31) - 1)
+    proof.pcs_proof.sampled_values[1][0][0] = tuple(v)
+    with pytest.raises(VerificationError):
+        verify_cairo_m(proof, CFG)
