@@ -119,6 +119,73 @@ def cmd_prove(args):
     return 0
 
 
+def cmd_fmt(args):
+    from .compiler.formatter import format_source
+
+    changed = 0
+    for path in args.files:
+        src = open(path).read()
+        out = format_source(src)
+        if out != src:
+            changed += 1
+            if args.check:
+                print(f"would reformat {path}")
+            else:
+                with open(path, "w") as f:
+                    f.write(out)
+                print(f"reformatted {path}")
+    if args.check and changed:
+        return 1
+    return 0
+
+
+def cmd_init(args):
+    import os
+
+    from .compiler.project import init_project
+
+    name = args.name or os.path.basename(os.path.abspath(args.path))
+    proj = init_project(args.path, name)
+    print(f"created project {proj.manifest.name} at {proj.root}")
+    return 0
+
+
+def cmd_wasm(args):
+    from .wasm import WasmError, compile_wasm
+
+    data = open(args.input, "rb").read()
+    try:
+        out = compile_wasm(data)
+    except WasmError as e:
+        print(f"wasm: {e}", file=sys.stderr)
+        return 1
+    dest = args.output or args.input.rsplit(".", 1)[0] + ".json"
+    with open(dest, "w") as f:
+        f.write(out.program.to_json())
+    eps = ", ".join(out.program.entrypoints)
+    print(f"compiled {args.input} -> {dest} (entrypoints: {eps})")
+    return 0
+
+
+def cmd_build(args):
+    from .compiler import CompilationError, CompilerOptions
+    from .compiler.project import compile_project, discover_project
+
+    try:
+        out = compile_project(
+            args.path, options=CompilerOptions(optimization_level=args.opt)
+        )
+    except CompilationError as e:
+        print(e.render(), file=sys.stderr)
+        return 1
+    proj = discover_project(args.path)
+    dest = args.output or f"{proj.manifest.name}.json"
+    with open(dest, "w") as f:
+        f.write(out.program.to_json())
+    print(f"built {proj.manifest.name} -> {dest}")
+    return 0
+
+
 def cmd_verify(args):
     from .prover.config import REGULAR_96_BITS
     from .prover.prove import Proof
@@ -175,6 +242,28 @@ def main(argv=None):
     v = sub.add_parser("verify")
     v.add_argument("proof")
     v.set_defaults(fn=cmd_verify)
+
+    f = sub.add_parser("fmt", help="format .cm sources in place")
+    f.add_argument("files", nargs="+")
+    f.add_argument("--check", action="store_true",
+                   help="exit 1 if any file would change")
+    f.set_defaults(fn=cmd_fmt)
+
+    i = sub.add_parser("init", help="scaffold a new cairom.toml project")
+    i.add_argument("path")
+    i.add_argument("--name")
+    i.set_defaults(fn=cmd_init)
+
+    w = sub.add_parser("wasm", help="compile a WebAssembly module (i32 subset)")
+    w.add_argument("input")
+    w.add_argument("--output", "-o")
+    w.set_defaults(fn=cmd_wasm)
+
+    b = sub.add_parser("build", help="compile a cairom.toml project")
+    b.add_argument("path", nargs="?", default=".")
+    b.add_argument("--output", "-o")
+    b.add_argument("--opt", default="standard", choices=["none", "standard"])
+    b.set_defaults(fn=cmd_build)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -579,6 +579,12 @@ class MirFnCodegen:
                 dst_off=self.slot(i.dst),
             )
             return
+        if src == "bool" and dst_k == "u32":
+            # widen 0/1 to a u32: lo = bool, hi = 0 (wasm frontend)
+            dst = self.slot(i.dst)
+            self.copy_slots(self.slot(v), dst, 1)
+            self.emit("StoreImm", imm=0, dst_off=dst + 1)
+            return
         if src == "felt" and dst_k == "u32":
             raise Unsupported("felt->u32 cast in MIR path")
         # identity-width casts alias

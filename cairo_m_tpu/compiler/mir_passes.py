@@ -108,7 +108,10 @@ def simplify_and_fold(fn: MirFunction) -> bool:
                     changed = True
                 else:
                     ca = _const_of(defs, i.args[0])
-                    if ca is not None and (src, dst) == ("u32", "felt") and ca < P:
+                    if ca is not None and (
+                        (src, dst) == ("u32", "felt") and ca < P
+                        or (src, dst) == ("bool", "u32")
+                    ):
                         i.kind, i.extra, i.args, i.op = "const", ca, [], ""
                         defs[i.dst.id] = i
                         changed = True

@@ -23,7 +23,7 @@ def _load():
     path = os.path.join(os.path.dirname(__file__), "libcm_vm.so")
     if not os.path.exists(path):
         src = os.path.join(os.path.dirname(__file__), "vm_core.cpp")
-        os.system(f"g++ -O2 -shared -fPIC -std=c++17 -o {path} {src}")
+        os.system(f"g++ -O3 -march=native -shared -fPIC -std=c++17 -o {path} {src}")
     lib = ctypes.CDLL(path)
     u32p = ctypes.POINTER(ctypes.c_uint32)
     lib.cm_run.restype = ctypes.c_void_p

@@ -159,6 +159,28 @@ def point_eval_twiddles_host(qpoint, log_size: int) -> np.ndarray:
     return np.array(tws[::-1], dtype=np.uint32)
 
 
+def eval_at_qpoint_folds(coeffs, log_size: int, tws):
+    """Halving fold evaluation: O(n) work (the scan variant below keeps a
+    static shape by zero-padding and pays O(n log n) — a 10x+ waste at the
+    2^20+ sizes the prover samples).  Graph size ~35*log_size primitives:
+    small enough to jit per log_size.
+
+    ``tws``: (log_size, 4) device array from `point_eval_twiddles_host`
+    (innermost fold first)."""
+    n = 1 << log_size
+    assert coeffs.shape[-1] == n
+    lead = coeffs.shape[:-1]
+    z = jnp.zeros_like(coeffs)
+    v = (coeffs, z, z, z)
+    for j in range(log_size):
+        half = v[0].shape[-1] // 2
+        a = tuple(c.reshape(lead + (half, 2))[..., 0] for c in v)
+        b = tuple(c.reshape(lead + (half, 2))[..., 1] for c in v)
+        t = tuple(tws[j, k] for k in range(4))
+        v = qadd(a, qmul(b, t))
+    return tuple(c[..., 0] for c in v)
+
+
 def eval_at_qpoint_scan(coeffs, log_size: int, tws):
     """Same evaluation with a fixed-shape `lax.scan` over fold levels, so the
     compiled graph is one fold (~200 primitives) instead of log_size folds —

@@ -420,15 +420,27 @@ def _accumulate_coeffs(acc, new):
 from functools import lru_cache
 
 
+@jax.jit
+def _weight_contrib(contrib, w4):
+    return _qmul_limbs(contrib, tuple(w4[k] for k in range(4)))
+
+
+@jax.jit
+def _accumulate_limbs(acc, new):
+    return tuple(m31.add(a, b) for a, b in zip(acc, new))
+
+
 @lru_cache(maxsize=None)
-def _contrib_to_coeffs(elog: int, max_elog: int):
-    def f(contrib, w4):
-        weighted = _qmul_limbs(contrib, tuple(w4[k] for k in range(4)))
+def _evals_to_coeffs(elog: int, max_elog: int):
+    """Row-order 4-limb evaluations on the 2^elog domain -> coefficients
+    embedded in the 2^max_elog basis (one call per elog per proof)."""
+
+    def f(evals):
         return tuple(
             fft.embed_coeffs(
                 fft.ifft(domain.to_fft_order(x), elog), elog, max_elog
             )
-            for x in weighted
+            for x in evals
         )
 
     return jax.jit(f)
@@ -459,6 +471,7 @@ def compute_composition(
         apows.append(qscalar_mul(apows[-1], random_coeff))
     total = None
     ti = ii = 0
+    by_elog: dict = {}
     zero_stack_cache = {}
     for i, comp in enumerate(components):
         l = comp.log_size
@@ -504,10 +517,18 @@ def compute_composition(
         contrib = tuple(out[k] for k in range(4))
         after = sum(counts[i + 1 :])
         w4 = jnp.asarray(np.array(_qpow_scalar(random_coeff, after), np.uint32))
-        co = _contrib_to_coeffs(elog, max_elog)(contrib, w4)
-        total = co if total is None else _accumulate_coeffs(total, co)
+        # accumulate weighted contributions per evaluation domain; the
+        # ifft+embed runs ONCE per elog instead of once per component
+        acc = by_elog.get(elog)
+        weighted = _weight_contrib(contrib, w4)
+        by_elog[elog] = (
+            weighted if acc is None else _accumulate_limbs(acc, weighted)
+        )
         ti += comp.n_trace_cols
         ii += 4 * comp.n_interaction_cols()
+    for elog in sorted(by_elog, reverse=True):
+        co = _evals_to_coeffs(elog, max_elog)(by_elog[elog])
+        total = co if total is None else _accumulate_coeffs(total, co)
     comp_evals = tuple(fft.fft(c, max_elog) for c in total)
     return comp_evals, max_elog
 

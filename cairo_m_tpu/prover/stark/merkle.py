@@ -74,7 +74,12 @@ class MerkleTree:
                 [stacked, jnp.zeros((kp - n_cols, n), jnp.uint32)], axis=0
             )
         )
-        digests = _hash_leaf(hashed)
+        from ...hash import blake2s_pallas
+
+        if blake2s_pallas.supported(kp, n):
+            digests = blake2s_pallas.hash_leaves(hashed)
+        else:
+            digests = _hash_leaf(hashed)
         self.levels = [digests]  # (8, m) per level
         while int(digests.shape[1]) > 1:
             digests = _hash_inner(digests)

@@ -181,7 +181,7 @@ class CommitmentPhase:
 @lru_cache(maxsize=None)
 def _eval_stack(log_size: int):
     return jax.jit(
-        lambda coeffs, tws: fft.eval_at_qpoint_scan(coeffs, log_size, tws)
+        lambda coeffs, tws: fft.eval_at_qpoint_folds(coeffs, log_size, tws)
     )
 
 
