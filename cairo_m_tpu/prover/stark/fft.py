@@ -32,22 +32,39 @@ P = (1 << 31) - 1
 
 
 def _twiddles_dev(log_size: int, inverse: bool):
-    """Twiddles as fresh constants per call (host-cached NumPy underneath);
-    caching device arrays would leak tracers into jitted callers."""
+    """Twiddles as fresh constants per call (host-cached NumPy underneath).
+    Inside a jitted caller these become HLO constant literals baked into the
+    executable — fine at test sizes, ~2^log_size words of HBM *per compiled
+    graph* at production sizes.  Hot paths must instead thread
+    `twiddles_dev` results through as explicit jit arguments."""
     levels, inv_levels = domain.fft_twiddles(log_size)
     src = inv_levels if inverse else levels
     return [jnp.asarray(t) for t in src]
 
 
-def ifft(values, log_size: int):
+@lru_cache(maxsize=None)
+def twiddles_dev(log_size: int, inverse: bool):
+    """Concrete device-resident twiddle levels, uploaded once per process.
+    Pass these as *arguments* to jitted functions (pytree of per-level
+    arrays) so large twiddles are shared across executables instead of being
+    duplicated as constant literals in each (the round-3 fib-1M HBM OOM:
+    dozens of 4-64 MB `constant literal` allocations)."""
+    levels, inv_levels = domain.fft_twiddles(log_size)
+    src = inv_levels if inverse else levels
+    return tuple(jnp.asarray(t) for t in src)
+
+
+def ifft(values, log_size: int, itw=None):
     """Evaluations (..., 2^log_size) in FFT order -> coefficients.
 
     The 1/2 butterfly normalizations are batched into one final 2^-L scale.
+    ``itw``: optional inverse twiddle levels (see `twiddles_dev`).
     """
     v = values
     n = 1 << log_size
     assert v.shape[-1] == n
-    itw = _twiddles_dev(log_size, inverse=True)
+    if itw is None:
+        itw = _twiddles_dev(log_size, inverse=True)
     lead = v.shape[:-1]
     for j in range(log_size):
         half = n >> (j + 1)
@@ -62,12 +79,14 @@ def ifft(values, log_size: int):
     return m31.mul(v, jnp.uint32(scale))
 
 
-def fft(coeffs, log_size: int):
-    """Coefficients -> evaluations (..., 2^log_size) in FFT order."""
+def fft(coeffs, log_size: int, tw=None):
+    """Coefficients -> evaluations (..., 2^log_size) in FFT order.
+    ``tw``: optional twiddle levels (see `twiddles_dev`)."""
     v = coeffs
     n = 1 << log_size
     assert v.shape[-1] == n
-    tw = _twiddles_dev(log_size, inverse=False)
+    if tw is None:
+        tw = _twiddles_dev(log_size, inverse=False)
     lead = v.shape[:-1]
     for j in range(log_size - 1, -1, -1):
         half = n >> (j + 1)

@@ -433,17 +433,19 @@ def _accumulate_limbs(acc, new):
 @lru_cache(maxsize=None)
 def _evals_to_coeffs(elog: int, max_elog: int):
     """Row-order 4-limb evaluations on the 2^elog domain -> coefficients
-    embedded in the 2^max_elog basis (one call per elog per proof)."""
+    embedded in the 2^max_elog basis (one call per elog per proof).
+    Inverse twiddles ride as jit args — not baked constants (HBM)."""
 
-    def f(evals):
+    def f(evals, itw):
         return tuple(
             fft.embed_coeffs(
-                fft.ifft(domain.to_fft_order(x), elog), elog, max_elog
+                fft.ifft(domain.to_fft_order(x), elog, itw), elog, max_elog
             )
             for x in evals
         )
 
-    return jax.jit(f)
+    jitted = jax.jit(f)
+    return lambda evals: jitted(evals, fft.twiddles_dev(elog, True))
 
 
 def _qmul_limbs(a, b):
@@ -529,7 +531,8 @@ def compute_composition(
     for elog in sorted(by_elog, reverse=True):
         co = _evals_to_coeffs(elog, max_elog)(by_elog[elog])
         total = co if total is None else _accumulate_coeffs(total, co)
-    comp_evals = tuple(fft.fft(c, max_elog) for c in total)
+    tw = fft.twiddles_dev(max_elog, False)
+    comp_evals = tuple(fft.fft(c, max_elog, tw) for c in total)
     return comp_evals, max_elog
 
 

@@ -150,6 +150,13 @@ def _q4(v):
 
 
 @_lru_cache(maxsize=None)
+def _fri_tw_dev(log_size: int, j: int):
+    """Device-resident copy of `domain.fri_twiddles_bitrev(log_size)[j]` —
+    uploaded once per process instead of per prove (32 MB at max_log 24)."""
+    return jnp.asarray(domain.fri_twiddles_bitrev(log_size)[j])
+
+
+@_lru_cache(maxsize=None)
 def _first_fold_jit(n_cols: int, log: int):
     """jit: (n_cols, 4, 2^log) stacked cols + y_inv + alpha-squared + alpha
     -> (4, 2^(log-1)) folded layer."""
@@ -251,7 +258,7 @@ class FriProver:
         self.inner_trees = []  # list of (log_k, MerkleTree)
         alpha0 = channel.draw_felt()
         a0sq = qscalar_mul(alpha0, alpha0)
-        y_inv = jnp.asarray(domain.fri_twiddles_bitrev(self.max_log)[0])
+        y_inv = _fri_tw_dev(self.max_log, 0)
         top = jnp.stack(
             [jnp.stack(c) for c in by_log[self.max_log]]
         )  # (n_cols, 4, n)
@@ -264,13 +271,11 @@ class FriProver:
             self.inner_trees.append((k, tree))
             channel.mix_root(tree.root())
             alpha = channel.draw_felt()
-            x_inv = jnp.asarray(
-                domain.fri_twiddles_bitrev(self.max_log)[self.max_log - k]
-            )
+            x_inv = _fri_tw_dev(self.max_log, self.max_log - k)
             fold_in = by_log.get(k)  # columns entering at the NEXT size
             if fold_in:
                 asq = qscalar_mul(alpha, alpha)
-                y_inv_k = jnp.asarray(domain.fri_twiddles_bitrev(k)[0])
+                y_inv_k = _fri_tw_dev(k, 0)
                 stack = jnp.stack([jnp.stack(c) for c in fold_in])
                 layer = _fold_line_jit(k, int(stack.shape[0]))(
                     layer, x_inv, _q4(alpha), stack, y_inv_k, _q4(asq)

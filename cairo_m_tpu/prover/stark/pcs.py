@@ -36,14 +36,27 @@ def _commit_pipeline(trace_log: int, commit_log: int):
     (coeffs, fft-order LDE, commit-order LDE).
 
     The fft-order LDE is kept on the phase so the composition tape kernels
-    (stark/wtape.py) reuse it instead of re-extending columns."""
+    (stark/wtape.py) reuse it instead of re-extending columns.  Twiddles are
+    jit *arguments* (device-resident, shared across executables), not baked
+    constants — at commit_log >= 22 baked twiddles OOM'd HBM."""
 
-    def f(stacked):
-        coeffs = fft.ifft(stacked, trace_log)
-        ext = fft.fft(fft.embed_coeffs(coeffs, trace_log, commit_log), commit_log)
+    def f(stacked, itw, tw):
+        coeffs = fft.ifft(stacked, trace_log, itw)
+        ext = fft.fft(
+            fft.embed_coeffs(coeffs, trace_log, commit_log), commit_log, tw
+        )
         return coeffs, ext, domain.bit_reverse(ext, commit_log)
 
-    return jax.jit(f)
+    jitted = jax.jit(f)
+
+    def call(stacked):
+        return jitted(
+            stacked,
+            fft.twiddles_dev(trace_log, True),
+            fft.twiddles_dev(commit_log, False),
+        )
+
+    return call
 
 P = (1 << 31) - 1
 
