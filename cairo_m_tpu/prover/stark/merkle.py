@@ -134,6 +134,14 @@ class DecommitPlan:
         self.n_cols = int(tree.columns.shape[0])
         pos_arr = jnp.asarray(np.array(self.positions, np.int32))
         parts = [jnp.take(tree.columns, pos_arr, axis=1).reshape(-1)]
+        # one gather over the packed level pyramid instead of one per level
+        # (tunnel dispatch latency makes per-level takes the decommit cost)
+        packed = tree.__dict__.get("_packed_levels")
+        if packed is None and len(tree.levels) > 1:
+            packed = jnp.concatenate(tree.levels[:-1], axis=1)
+            tree._packed_levels = packed
+        level_off = 0
+        sib_idx = []
         self.sib_counts = []
         cur = self.positions
         for lvl in range(len(tree.levels) - 1):
@@ -145,15 +153,15 @@ class DecommitPlan:
                 if not parents or parents[-1] != par:
                     parents.append(par)
             self.sib_counts.append(len(sibs))
-            if sibs:
-                parts.append(
-                    jnp.take(
-                        tree.levels[lvl],
-                        jnp.asarray(np.array(sibs, np.int32)),
-                        axis=1,
-                    ).T.reshape(-1)  # (S, 8) word-major per digest
-                )
+            sib_idx += [level_off + s for s in sibs]
+            level_off += int(tree.levels[lvl].shape[1])
             cur = parents
+        if sib_idx:
+            parts.append(
+                jnp.take(
+                    packed, jnp.asarray(np.array(sib_idx, np.int32)), axis=1
+                ).T.reshape(-1)  # (S, 8) word-major per digest
+            )
         self.flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
         self.size = int(self.flat.shape[0])
 

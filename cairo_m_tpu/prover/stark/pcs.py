@@ -286,19 +286,13 @@ class CommitmentSchemeProver:
         channel.mix_felts(flat)
         # 2. quotient alpha
         random_coeff = channel.draw_felt()
-        # per commit_log: one concatenation of every phase's committed stack
-        # (column handles are rows into it — a single device gather per
-        # quotient batch instead of one eager slice per column)
-        pieces: dict[int, list] = {}
-        base: dict[tuple, int] = {}
-        for pi_, phase in enumerate(self.phases):
-            for cl in sorted(phase.stacked_commit, reverse=True):
-                lst = pieces.setdefault(cl, [])
-                base[(pi_, cl)] = sum(int(x.shape[0]) for x in lst)
-                lst.append(phase.stacked_commit[cl])
-        stacks_by_log = {
-            cl: (lst[0] if len(lst) == 1 else jnp.concatenate(lst, axis=0))
-            for cl, lst in pieces.items()
+        # column handles are ((phase, commit_log), row) pairs into the phases'
+        # committed stacks — quotient_column_device gathers per stack, so the
+        # full committed payload is never re-concatenated
+        stacks = {
+            (pi_, cl): phase.stacked_commit[cl]
+            for pi_, phase in enumerate(self.phases)
+            for cl in phase.stacked_commit
         }
         # enumerate (phase, column, point) -> alpha^k
         samples = []
@@ -309,13 +303,12 @@ class CommitmentSchemeProver:
             for col_idx, (zs, vs) in enumerate(zip(pts, vals)):
                 cl = phase.commit_logs[col_idx]
                 _, pos = phase.group_index[col_idx]
-                row = base[(pi_, cl)] + pos
                 for z, v in zip(zs, vs):
-                    samples.append((cl, row, z, v, apow))
+                    samples.append((cl, ((pi_, cl), pos), z, v, apow))
                     apow = fri.qscalar_mul(apow, random_coeff)
         grouped = quotients.group_samples(samples)
         quotient_cols = [
-            (l, quotients.quotient_column_device(l, batches, stacks_by_log[l]))
+            (l, quotients.quotient_column_device(l, batches, stacks))
             for l, batches in sorted(grouped.items(), reverse=True)
         ]
         _t("quotients (dispatch)")

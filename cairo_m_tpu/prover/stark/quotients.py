@@ -137,18 +137,41 @@ def _commit_points(log_size: int):
     )
 
 
-def quotient_column_device(log_size: int, batches, stack):
+def quotient_column_device(log_size: int, batches, stacks):
     """Evaluate Q_l over the full commit domain (device, jitted per batch
-    shape).  Column handles are row indices into ``stack`` — the (K, n)
-    commit-order concatenation of every committed column of this log size
-    (one gather per batch; per-column slicing would cost one XLA eager
-    compile per index)."""
+    shape).  Column handles are (stack_key, row) pairs into ``stacks`` — a
+    dict of (K, n) commit-order column stacks (one per commitment phase);
+    gathering per stack avoids materializing their concatenation (the whole
+    committed payload again) while still costing one gather per run, not one
+    eager slice per column."""
     px, py = _commit_points(log_size)
     total = None
     for b in batches:
         k = len(b.entries)
-        rows = np.array([col for col, _, _ in b.entries], np.int32)
-        cols = jnp.take(stack, jnp.asarray(rows), axis=0)
+        # entries arrive phase by phase -> contiguous runs per stack
+        pieces = []
+        run_key, run_rows = None, []
+        for (key, row), _, _ in b.entries:
+            if key != run_key and run_rows:
+                pieces.append(
+                    jnp.take(
+                        stacks[run_key],
+                        jnp.asarray(np.array(run_rows, np.int32)),
+                        axis=0,
+                    )
+                )
+                run_rows = []
+            run_key = key
+            run_rows.append(row)
+        if run_rows:
+            pieces.append(
+                jnp.take(
+                    stacks[run_key],
+                    jnp.asarray(np.array(run_rows, np.int32)),
+                    axis=0,
+                )
+            )
+        cols = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
         w = np.zeros((k, 4), dtype=np.uint32)
         wa, wb = QZERO, QZERO
         _, _, c = line_coeffs(b.z, b.entries[0][1])

@@ -540,13 +540,34 @@ def run_wide(stacks, src, sh, const_vals, plan: WidePlan, elog: int,
     n = 1 << elog
     B = len(src)
     Bb = _bucket(B, 16)
-    nz = [s for s in stacks if int(s.shape[0])]
-    ext_all = nz[0] if len(nz) == 1 else jnp.concatenate(nz, axis=0)
-    rows = jnp.take(ext_all, jnp.asarray(np.asarray(src, np.int32)), axis=0)
-    if Bb > B:
-        rows = jnp.concatenate(
-            [rows, jnp.zeros((Bb - B, n), jnp.uint32)], axis=0
-        )
+    # Gather the used bank rows from each stack separately, then reorder to
+    # operand order with one small (Bb, n) permutation gather.  Concatenating
+    # the full stacks first (as a naive `concat(stacks)[src]` would) writes
+    # the whole phase's columns to HBM per component — gigabytes per proof at
+    # production sizes, and the measured composition-phase bottleneck.
+    src = np.asarray(src, np.int64)
+    sizes = [int(s.shape[0]) for s in stacks]
+    bounds = np.cumsum([0] + sizes)
+    pieces = []
+    # pad slots (>= B) gather row 0: padded NOP lanes never select the bank
+    # operand (their opcode sources are consts), only the index must be valid
+    perm = np.zeros(Bb, np.int32)
+    base = 0
+    for j, s in enumerate(stacks):
+        if sizes[j] == 0:
+            continue
+        sel = np.nonzero((src >= bounds[j]) & (src < bounds[j + 1]))[0]
+        if sel.size == 0:
+            continue
+        idx = (src[sel] - bounds[j]).astype(np.int32)
+        pieces.append(jnp.take(s, jnp.asarray(idx), axis=0))
+        perm[sel] = base + np.arange(sel.size, dtype=np.int32)
+        base += sel.size
+    if not pieces:
+        rows = jnp.zeros((Bb, n), jnp.uint32)
+    else:
+        cat = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
+        rows = jnp.take(cat, jnp.asarray(perm), axis=0)
     S = plan.n_steps
     Sb = _bucket(S, 16)
     n_out = len(plan.out_regs)
