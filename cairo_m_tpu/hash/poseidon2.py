@@ -28,7 +28,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..field import m31
-from .poseidon2_params import (
+from .poseidon2_params import (  # noqa: F401
+    active_params,
     DEFAULT_PARAMS,
     FULL_ROUNDS,
     PARTIAL_ROUNDS,
@@ -99,8 +100,9 @@ def _sbox(x, o: _Ops):
     return o.mul(x4, x)
 
 
-def permute_stacked(state, o: _Ops, params: Poseidon2Params = DEFAULT_PARAMS):
+def permute_stacked(state, o: _Ops, params: Poseidon2Params = None):
     """Full permutation on stacked (..., 16) uint32 state."""
+    params = params or active_params()
     ext_rc = o.xp.asarray(params.external_rc)  # (8, 16)
     int_rc = o.xp.asarray(params.internal_rc)  # (14,)
     diag = o.xp.asarray(params.internal_diag)  # (16,)
@@ -120,18 +122,19 @@ def permute_stacked(state, o: _Ops, params: Poseidon2Params = DEFAULT_PARAMS):
     return state
 
 
-def permute_np(states: np.ndarray, params: Poseidon2Params = DEFAULT_PARAMS):
+def permute_np(states: np.ndarray, params: Poseidon2Params = None):
     """Host batched permutation: (n, 16) -> (n, 16)."""
     return permute_stacked(np.asarray(states, dtype=np.uint32), NP_OPS, params)
 
 
-def permute_jax(states, params: Poseidon2Params = DEFAULT_PARAMS):
+def permute_jax(states, params: Poseidon2Params = None):
     """Device batched permutation on stacked (..., 16) uint32 arrays."""
     return permute_stacked(states, JAX_OPS, params)
 
 
-def hash2_np(left: np.ndarray, right: np.ndarray, params=DEFAULT_PARAMS):
+def hash2_np(left: np.ndarray, right: np.ndarray, params=None):
     """Two-to-one hash, vectorized on host: digest = permute([l,r,0..0])[0]."""
+    params = params or active_params()
     left = np.asarray(left, dtype=np.uint32)
     state = np.zeros(left.shape + (T,), dtype=np.uint32)
     state[..., 0] = left
@@ -139,7 +142,8 @@ def hash2_np(left: np.ndarray, right: np.ndarray, params=DEFAULT_PARAMS):
     return permute_np(state, params)[..., 0]
 
 
-def hash2_jax(left, right, params=DEFAULT_PARAMS):
+def hash2_jax(left, right, params=None):
+    params = params or active_params()
     zero = jnp.zeros_like(left)
     state = jnp.stack([left, right] + [zero] * (T - 2), axis=-1)
     return permute_jax(state, params)[..., 0]
@@ -148,12 +152,13 @@ def hash2_jax(left, right, params=DEFAULT_PARAMS):
 _DEFAULT_HASHES_CACHE: dict[str, np.ndarray] = {}
 
 
-def default_hashes(params: Poseidon2Params = DEFAULT_PARAMS) -> np.ndarray:
+def default_hashes(params: Poseidon2Params = None) -> np.ndarray:
     """Per-depth default subtree hashes (all-zero leaves), depth 0..TREE_HEIGHT.
 
     `defaults[TREE_HEIGHT] = 0`; `defaults[d] = hash(defaults[d+1], defaults[d+1])`
     (reference `src/poseidon2.rs:38-57`).
     """
+    params = params or active_params()
     if params.name not in _DEFAULT_HASHES_CACHE:
         defaults = np.zeros(TREE_HEIGHT + 1, dtype=np.uint32)
         for depth in range(TREE_HEIGHT - 1, -1, -1):

@@ -85,3 +85,29 @@ INTERNAL_MATRIX: np.ndarray = _DEFAULT.internal_diag
 DEFAULT_PARAMS = Poseidon2Params(
     EXTERNAL_ROUND_CONSTS, INTERNAL_ROUND_CONSTS, INTERNAL_MATRIX, _DEFAULT.name
 )
+
+
+# --- Active-instance hook ---------------------------------------------------
+# Consumers resolve parameters at CALL time through ``active_params()`` so a
+# drop-in replacement (e.g. the zkhash constants for reference bit-parity)
+# can be installed at run time without touching import-time bindings.
+# Tested by tests/test_prover_e2e.py::test_external_poseidon2_constants.
+
+_ACTIVE: list = [DEFAULT_PARAMS]
+
+
+def active_params() -> Poseidon2Params:
+    return _ACTIVE[-1]
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def use_params(params: Poseidon2Params):
+    """Scoped swap of the Poseidon2 instance (adapter trees, AIR, ids)."""
+    _ACTIVE.append(params)
+    try:
+        yield params
+    finally:
+        _ACTIVE.pop()

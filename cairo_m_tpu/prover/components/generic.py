@@ -13,7 +13,7 @@ import numpy as np
 
 from ...field import m31
 from ...hash.poseidon2 import TREE_HEIGHT
-from ...hash.poseidon2_params import DEFAULT_PARAMS, FULL_ROUNDS, PARTIAL_ROUNDS, T
+from ...hash.poseidon2_params import FULL_ROUNDS, PARTIAL_ROUNDS, T, active_params
 from ..adapter.adapter import rc_limit
 from ..stark.air import Component
 
@@ -249,9 +249,11 @@ class Poseidon2Component(Component):
     name = "poseidon2"
     n_trace_cols = 1 + T * (1 + FULL_ROUNDS * 3) + 3 * PARTIAL_ROUNDS
 
-    def __init__(self, relations, params=DEFAULT_PARAMS):
+    def __init__(self, relations, params=None):
         self.relations = relations
-        self.params = params
+        self.params = params or active_params()
+        # constraint plans bake the round constants -> cache by instance
+        self.plan_key_extra = self.params.name
 
     def n_lookups(self):
         return 2

@@ -33,6 +33,9 @@ from .stark.fri import QZERO, qscalar_add
 
 P = (1 << 31) - 1
 
+# (scale key, blowup, mesh id) -> CommitmentPhase of the preprocessed tables
+_PRE_PHASE_CACHE: dict = {}
+
 
 @dataclass
 class Proof:
@@ -60,6 +63,24 @@ class Proof:
             o["interaction_pow_nonce"],
             pcs.PcsProof.from_json_obj(o["pcs_proof"]),
         )
+
+    def program_id(self) -> int:
+        """Poseidon2 Merkle root over just the program's public memory
+        entries — a succinct program identity derivable from any proof
+        (reference `Proof::program_id`, crates/prover/src/lib.rs:76-98:
+        rebuild an addr->value map from public_data.program, hash it as an
+        initial-type partial tree with no public addresses)."""
+        from ..isa.program import PublicAddressRanges
+        from .adapter.merkle import build_partial_merkle_tree
+
+        mem = {
+            addr: (tuple(val), 0, 0)
+            for addr, val, _clock in self.public_data.program
+        }
+        _, root = build_partial_merkle_tree(
+            mem, "initial", PublicAddressRanges()
+        )
+        return root
 
 
 def _fftify(col_np, log_size):
@@ -156,9 +177,25 @@ def prove_cairo_m(prover_input, config=REGULAR_96_BITS, timing=None):
 
     scheme = pcs.CommitmentSchemeProver(channel, config)
 
-    # phase 0: preprocessed
+    # phase 0: preprocessed.  The columns (range-check enumerations, the
+    # bitwise table) are fixed per protocol scale, so their entire
+    # commitment phase — LDE, commit-order transform, Merkle trees — is
+    # computed once per (scale, blowup, mesh) and reused across proofs;
+    # only the root mixing into the channel runs per proof.
     pre_cols, pre_owners = comps.preprocessed_columns()
-    scheme.commit([(l, _fftify(c, l)) for l, c in pre_cols])
+    from .config import SCALE
+    from ..parallel.sharded import active_mesh
+
+    pre_key = (SCALE.key(), config.fri_config.log_blowup_factor, id(active_mesh()))
+    cached = _PRE_PHASE_CACHE.get(pre_key)
+    if cached is None:
+        cached = pcs.CommitmentPhase(
+            [(l, _fftify(c, l)) for l, c in pre_cols],
+            config.fri_config.log_blowup_factor,
+        )
+        _PRE_PHASE_CACHE.clear()  # hold at most one scale's tables in HBM
+        _PRE_PHASE_CACHE[pre_key] = cached
+    scheme.commit_phase(cached)
     _dbg(t0, "phase0 commit")
 
     # claim: mix log sizes; phase 1: trace.  Each component's trace rows are

@@ -189,7 +189,8 @@ def interaction_plan(comp, relations):
     then denominator limbs 0-3 (8 outputs per entry)."""
     from ...prover.config import SCALE
 
-    key = ("interaction", comp.name, comp.log_size, SCALE.key())
+    key = ("interaction", comp.name, comp.log_size, SCALE.key(),
+           getattr(comp, "plan_key_extra", ""))
     hit = _PLAN_CACHE.get(key)
     if hit is not None:
         return hit
@@ -341,7 +342,8 @@ def count_constraints(comp) -> int:
     # comp.name (not just the class) — all opcode components share one class
     from ...prover.config import SCALE
 
-    key = (type(comp).__name__, comp.name, comp.log_size, SCALE.key())
+    key = (type(comp).__name__, comp.name, comp.log_size, SCALE.key(),
+           getattr(comp, "plan_key_extra", ""))
     if key in _COUNT_CACHE:
         return _COUNT_CACHE[key]
     rel = comp.relations
@@ -374,7 +376,8 @@ def composition_plan(comp, relations):
     relation parameters, logup shift, alpha powers) are dynamic consts."""
     from ...prover.config import SCALE
 
-    key = ("composition", comp.name, comp.log_size, SCALE.key())
+    key = ("composition", comp.name, comp.log_size, SCALE.key(),
+           getattr(comp, "plan_key_extra", ""))
     hit = _PLAN_CACHE.get(key)
     if hit is not None:
         return hit

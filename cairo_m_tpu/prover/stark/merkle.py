@@ -135,11 +135,13 @@ class DecommitPlan:
         pos_arr = jnp.asarray(np.array(self.positions, np.int32))
         parts = [jnp.take(tree.columns, pos_arr, axis=1).reshape(-1)]
         # one gather over the packed level pyramid instead of one per level
-        # (tunnel dispatch latency makes per-level takes the decommit cost)
-        packed = tree.__dict__.get("_packed_levels")
-        if packed is None and len(tree.levels) > 1:
+        # (tunnel dispatch latency makes per-level takes the decommit cost).
+        # `packed` stays local: every tree is decommitted exactly once per
+        # proof, so caching it on the tree only extends device-memory
+        # lifetime without reuse.
+        packed = None
+        if len(tree.levels) > 1:
             packed = jnp.concatenate(tree.levels[:-1], axis=1)
-            tree._packed_levels = packed
         level_off = 0
         sib_idx = []
         self.sib_counts = []

@@ -152,9 +152,10 @@ class CommitmentPhase:
         return [(cl, self.trees[cl].root()) for cl in sorted(self.trees, reverse=True)]
 
     def mix_roots(self, channel):
-        """Mix all tree roots largest-first — ONE device->host pull."""
+        """Mix all tree roots largest-first — ONE device->host pull (none
+        at all when roots were already pulled, e.g. a cached phase)."""
         logs = sorted(self.trees, reverse=True)
-        if logs:
+        if logs and any(self.trees[cl]._root is None for cl in logs):
             words = np.asarray(
                 jnp.stack([self.trees[cl].root_dev for cl in logs])
             )
@@ -249,6 +250,11 @@ class CommitmentSchemeProver:
     def commit(self, columns_fft):
         """Commit a phase; mixes its roots into the channel."""
         phase = CommitmentPhase(columns_fft, self.config.fri_config.log_blowup_factor)
+        return self.commit_phase(phase)
+
+    def commit_phase(self, phase: CommitmentPhase):
+        """Commit an already-built phase (e.g. the cached preprocessed
+        tables, whose columns are proof-independent)."""
         phase.mix_roots(self.channel)
         self.phases.append(phase)
         return len(self.phases) - 1

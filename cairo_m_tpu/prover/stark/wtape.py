@@ -416,16 +416,6 @@ def schedule_wide(rec: WideRecorder, outputs, width: int = 32) -> WidePlan:
 # ---------------------------------------------------------------------------
 
 
-@lru_cache(maxsize=None)
-def _row_from_fft_perm(elog: int):
-    n = 1 << elog
-    g = np.zeros(n, dtype=np.int32)
-    k = np.arange(n // 2)
-    g[2 * k] = k
-    g[2 * k + 1] = n - 1 - k
-    return g
-
-
 # HBM budget for the per-tile register file (R * tile * 4 bytes)
 _REG_BYTES = 128 << 20
 
@@ -440,57 +430,50 @@ def _pick_tiles(R: int, n: int) -> int:
 
 @lru_cache(maxsize=None)
 def _wide_kernel(B: int, S: int, W: int, R: int,
-                 n_out: int, elog: int, fft_order: bool, n_tiles: int):
-    """f(rows, sh, consts, opc, ia, ib, dst, out_regs)
-    -> (n_out, n) row-order limbs.
+                 n_out: int, elog: int, n_tiles: int):
+    """f(rows, consts, opc, ia, ib, dst, out_regs) -> (n_out, n) limbs.
 
-    Every dimension in the cache key is BUCKETED (powers of two) by
-    `run_wide`, so the ~45 components of a proof share a handful of
-    compiled kernels instead of one XLA compile each.
+    ``rows``: (B, n) bank rows ALREADY in row order with shifts applied
+    (run_wide does both with slice/roll ops — TPU gathers are slow and were
+    the measured bottleneck of the old per-lane permutation gather).
+
+    The register file is (R + B, tile): bank rows occupy registers R..R+B,
+    so an operand is either a file row or a const — one gather + one select
+    per operand instead of the old three-way fetch.  Every dimension in the
+    cache key is BUCKETED (powers of two) by `run_wide`, so the ~45
+    components of a proof share a handful of compiled kernels instead of
+    one XLA compile each.
     """
     n = 1 << elog
     tile = n // n_tiles
-    G = jnp.asarray(_row_from_fft_perm(elog)) if fft_order else None
 
-    def f(rows, sh, consts, opc, ia, ib, dst, out_regs):
+    def f(rows, consts, opc, ia, ib, dst, out_regs):
         base = opc // 9
         sa = (opc // 3) % 3
         sb = opc % 3
         C = consts.shape[0]
-        ia_r = jnp.minimum(ia, R - 1)
-        ia_b = jnp.minimum(ia, B - 1)
+        RB = R + B
+        # remap bank operands (space 1) to file registers R + idx
+        ia_f = jnp.minimum(jnp.where(sa == 1, R + ia, ia), RB - 1)
+        ib_f = jnp.minimum(jnp.where(sb == 1, R + ib, ib), RB - 1)
         ia_c = jnp.minimum(ia, C - 1)
-        ib_r = jnp.minimum(ib, R - 1)
-        ib_b = jnp.minimum(ib, B - 1)
         ib_c = jnp.minimum(ib, C - 1)
+        is_c_a = sa == 2
+        is_c_b = sb == 2
 
         def tile_fn(t0):
-            # shifted row-order bank for rows [t0, t0 + tile)
-            pos = (
-                jnp.arange(tile, dtype=jnp.uint32)[None, :]
-                + t0
-                + sh[:, None]
-            ) % n
-            bank_tile = jnp.take_along_axis(
-                rows, jnp.take(G, pos) if fft_order else pos.astype(jnp.int32),
-                axis=1,
-            )  # (B, tile)
+            bank_tile = jax.lax.dynamic_slice_in_dim(rows, t0, tile, axis=1)
 
             def step(regs, ins):
-                (bse, sa_, sb_, iar, iab, iac, ibr, ibb, ibc, dst_) = ins
+                (bse, ca, cb, iaf, iac, ibf, ibc, dst_) = ins
 
-                def fetch(space, ir, ibk, ic):
-                    r = jnp.take(regs, ir, axis=0)
-                    bk = jnp.take(bank_tile, ibk, axis=0)
-                    cc = jnp.take(consts, ic)[:, None]
-                    return jnp.where(
-                        (space == 0)[:, None],
-                        r,
-                        jnp.where((space == 1)[:, None], bk, cc),
-                    )
+                def fetch(is_c, i_f, i_c):
+                    r = jnp.take(regs, i_f, axis=0)
+                    cc = jnp.take(consts, i_c)[:, None]
+                    return jnp.where(is_c[:, None], cc, r)
 
-                va = fetch(sa_, iar, iab, iac)
-                vb = fetch(sb_, ibr, ibb, ibc)
+                va = fetch(ca, iaf, iac)
+                vb = fetch(cb, ibf, ibc)
                 # add/sub share one modular add (sub = add of negation)
                 vbn = jnp.where(
                     (bse == 1)[:, None], m31.neg(vb), vb
@@ -501,15 +484,17 @@ def _wide_kernel(B: int, S: int, W: int, R: int,
                 regs = regs.at[dst_].set(out)
                 return regs, None
 
-            regs0 = jnp.zeros((R, tile), jnp.uint32)
+            regs0 = jnp.concatenate(
+                [jnp.zeros((R, tile), jnp.uint32), bank_tile], axis=0
+            )
             regs, _ = jax.lax.scan(
                 step,
                 regs0,
-                (base, sa, sb, ia_r, ia_b, ia_c, ib_r, ib_b, ib_c, dst),
+                (base, is_c_a, is_c_b, ia_f, ia_c, ib_f, ib_c, dst),
             )
             return jnp.take(regs, out_regs, axis=0)
 
-        starts = jnp.arange(n_tiles, dtype=jnp.uint32) * tile
+        starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
         if n_tiles == 1:
             outs = tile_fn(starts[0])[None]
         else:
@@ -527,24 +512,34 @@ def run_wide(stacks, src, sh, const_vals, plan: WidePlan, elog: int,
     row shifts; ``const_vals``: runtime const vector (dynamic slots filled).
     Returns (n_out, n) row-order uint32 limbs (n_out = len(plan.out_regs)).
 
-    The bank gather (stack concat + row select) happens OUTSIDE the jitted
-    kernel as cheap eager ops, so the kernel's shape signature is fully
-    bucketed: B (bank rows), S (steps), R (registers) and n_out all round
-    up to powers of two, letting all components of a proof share kernels.
+    The bank prep (stack row select + fft->row reorder + shift) happens
+    OUTSIDE the jitted kernel: row selection is a leading-axis take (block
+    copies), the fft->row reorder is slice/stack (domain.from_fft_order),
+    and shifts are jnp.roll by distinct-shift groups — no per-element
+    gathers anywhere (measured as the composition bottleneck on TPU, where
+    gathers run near scalar speed).  Kernel shapes are fully bucketed: B
+    (bank rows), S (steps), R (registers) and n_out all round up to powers
+    of two, letting all components of a proof share compiled kernels.
 
     The plan's instruction grids are identical across proofs, so their
     device copies cache on the plan — per-proof host->device traffic is
-    the const vector, src/sh rows and the (already-resident) stacks only
-    (45 components x 6 uploads per proof measured ~5 s over the tunnel).
+    the const vector and the (already-resident) stacks only.
     """
+    from . import domain
+
     n = 1 << elog
     B = len(src)
+    # pad bank rows hold DUPLICATED row-0 data (see below) and must never be
+    # selected — padded NOP lanes read consts only.  A src shorter than the
+    # plan's bank would silently misalign every operand:
+    assert len(src) == len(plan.used_bank), (len(src), len(plan.used_bank))
+    assert len(sh) == len(plan.used_bank)
     Bb = _bucket(B, 16)
     # Gather the used bank rows from each stack separately, then reorder to
-    # operand order with one small (Bb, n) permutation gather.  Concatenating
-    # the full stacks first (as a naive `concat(stacks)[src]` would) writes
-    # the whole phase's columns to HBM per component — gigabytes per proof at
-    # production sizes, and the measured composition-phase bottleneck.
+    # operand order with one small (Bb, n) leading-axis permutation take.
+    # Concatenating the full stacks first (as a naive `concat(stacks)[src]`
+    # would) writes the whole phase's columns to HBM per component —
+    # gigabytes per proof at production sizes.
     src = np.asarray(src, np.int64)
     sizes = [int(s.shape[0]) for s in stacks]
     bounds = np.cumsum([0] + sizes)
@@ -568,6 +563,7 @@ def run_wide(stacks, src, sh, const_vals, plan: WidePlan, elog: int,
     else:
         cat = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
         rows = jnp.take(cat, jnp.asarray(perm), axis=0)
+    rows = _prep_bank(elog, fft_order, tuple(int(x) % n for x in sh), Bb)(rows)
     S = plan.n_steps
     Sb = _bucket(S, 16)
     n_out = len(plan.out_regs)
@@ -575,7 +571,7 @@ def run_wide(stacks, src, sh, const_vals, plan: WidePlan, elog: int,
     R = _bucket(plan.n_regs, 16)
 
     cache = plan.__dict__.setdefault("_dev_cache", {})
-    key = (Sb, ob, Bb, bytes(np.asarray(sh, np.uint32)))
+    key = (Sb, ob)
     dev = cache.get(key)
     if dev is None:
         opc, ia, ib, dst = plan.opc, plan.ia, plan.ib, plan.dst
@@ -592,18 +588,13 @@ def run_wide(stacks, src, sh, const_vals, plan: WidePlan, elog: int,
             out_regs = np.concatenate(
                 [out_regs, np.zeros(ob - n_out, np.int32)]
             )
-        shp = np.zeros(Bb, np.uint32)
-        shp[:B] = sh
-        dev = tuple(
-            jnp.asarray(x) for x in (shp, opc, ia, ib, dst, out_regs)
-        )
+        dev = tuple(jnp.asarray(x) for x in (opc, ia, ib, dst, out_regs))
         cache[key] = dev
-    shp_d, opc_d, ia_d, ib_d, dst_d, out_regs_d = dev
+    opc_d, ia_d, ib_d, dst_d, out_regs_d = dev
     n_tiles = _pick_tiles(R, n)
-    fn = _wide_kernel(Bb, Sb, plan.width, R, ob, elog, fft_order, n_tiles)
+    fn = _wide_kernel(Bb, Sb, plan.width, R, ob, elog, n_tiles)
     out = fn(
         rows,
-        shp_d,
         jnp.asarray(const_vals),
         opc_d,
         ia_d,
@@ -612,6 +603,42 @@ def run_wide(stacks, src, sh, const_vals, plan: WidePlan, elog: int,
         out_regs_d,
     )
     return out[:n_out]
+
+
+@lru_cache(maxsize=None)
+def _prep_bank(elog: int, fft_order: bool, sh: tuple, Bb: int):
+    """Jitted bank prep: fft->row reorder (slice/stack) + per-row circular
+    shifts, grouped by distinct shift value so each group is ONE jnp.roll
+    (two slices + concat) — no element gathers.  Row j's lane i must hold
+    the row-order value at position (i + sh[j]) mod n."""
+    from . import domain
+
+    shifts = np.zeros(Bb, np.int64)
+    shifts[: len(sh)] = sh
+    groups = [
+        (int(v), np.nonzero(shifts == v)[0].astype(np.int32))
+        for v in np.unique(shifts)
+    ]
+
+    def f(rows):
+        if fft_order:
+            rows = domain.from_fft_order(rows)
+        if len(groups) == 1 and groups[0][0] == 0:
+            return rows
+        parts = []
+        order = []
+        for v, idx in groups:
+            grp = jnp.take(rows, jnp.asarray(idx), axis=0)
+            if v:
+                grp = jnp.roll(grp, -v, axis=-1)
+            parts.append(grp)
+            order.append(idx)
+        inv = np.empty(Bb, np.int32)
+        inv[np.concatenate(order)] = np.arange(Bb, dtype=np.int32)
+        cat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        return jnp.take(cat, jnp.asarray(inv), axis=0)
+
+    return jax.jit(f)
 
 
 def _bucket(x: int, floor: int = 16) -> int:

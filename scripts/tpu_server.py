@@ -17,11 +17,14 @@ Usage:
 Not part of the framework; a development tool only.
 """
 
-import io
+import faulthandler
 import os
+import signal
 import sys
 import time
 import traceback
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -51,18 +54,19 @@ while True:
     )
     for j in jobs:
         path = os.path.join(JOBS, j)
-        buf = io.StringIO()
+        # stream stdout straight to the .out file so progress is visible
+        # while the job runs (line-buffered)
+        out = open(path + ".out", "w", buffering=1)
         old = sys.stdout
-        sys.stdout = buf
+        sys.stdout = out
         try:
             code = open(path).read()
             exec(compile(code, path, "exec"), ns)
         except BaseException:
-            traceback.print_exc(file=buf)
+            traceback.print_exc(file=out)
         finally:
             sys.stdout = old
-        with open(path + ".out", "w") as f:
-            f.write(buf.getvalue())
+            out.close()
         with open(path + ".done", "w") as f:
             f.write("")
         print(f"job {j} done", flush=True)

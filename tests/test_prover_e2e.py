@@ -146,3 +146,58 @@ def test_tampered_proof_rejected():
     proof.pcs_proof.sampled_values[1][0][0] = tuple(v)
     with pytest.raises(VerificationError):
         verify_cairo_m(proof, CFG)
+
+
+def test_program_id():
+    """Proof.program_id: same program -> same id across inputs; different
+    program -> different id; id == Poseidon2 root of the program's public
+    memory (reference lib.rs:76-98)."""
+    SQ = """
+fn main(n: felt) -> felt {
+    let a = 0; let i = 0;
+    while i != n { a = a + n; i = i + 1; }
+    return a;
+}
+"""
+    proofs = {}
+    for name, src, arg in (("fib5", FIB, 5), ("fib9", FIB, 9), ("sq", SQ, 6)):
+        program = compile_cairo(src).program
+        res = run_cairo_program(program, "main", [InputValue.number(arg)])
+        pi = import_from_runner_output(
+            res.vm.segments[0], res.public_address_ranges
+        )
+        proofs[name] = prove_cairo_m(pi, CFG)
+    assert proofs["fib5"].program_id() == proofs["fib9"].program_id()
+    assert proofs["fib5"].program_id() != proofs["sq"].program_id()
+    # survives serialization round-trip
+    rt = Proof.from_json_obj(proofs["fib5"].to_json_obj())
+    assert rt.program_id() == proofs["fib5"].program_id()
+
+
+def test_external_poseidon2_constants():
+    """The drop-in-constants hook (hash/poseidon2_params.py): installing a
+    different Poseidon2 instance (stand-in for the reference's zkhash
+    constants) must flow through the adapter trees, the poseidon2 AIR and
+    program ids, and the proof must still verify."""
+    from cairo_m_tpu.hash.poseidon2_params import Poseidon2Params, use_params
+
+    program = compile_cairo(FIB).program
+    res = run_cairo_program(program, "main", [InputValue.number(8)])
+
+    def prove_with_current_params():
+        pi = import_from_runner_output(
+            res.vm.segments[0], res.public_address_ranges
+        )
+        proof = prove_cairo_m(pi, CFG)
+        assert verify_cairo_m(proof, CFG)
+        return proof
+
+    base = prove_with_current_params()
+    base_id = base.program_id()
+    alt = Poseidon2Params.generate("external/zkhash-stand-in/v1")
+    with use_params(alt):
+        swapped = prove_with_current_params()
+        # roots and ids change with the instance; the protocol still closes
+        swapped_id = swapped.program_id()
+    assert swapped_id != base_id
+    assert swapped.public_data.initial_root != base.public_data.initial_root
