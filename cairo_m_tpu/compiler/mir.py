@@ -7,11 +7,16 @@ extract/insert, so SROA falls out of construction; variables are lowered
 with direct SSA construction for structured control flow (env snapshots +
 phi insertion at joins) instead of alloca+mem2reg.
 
-Constructs that stay memory-shaped (arrays, pointers, heap allocation,
-assignment through references) raise `Unsupported`; `compile_cairo` falls
-back to the direct AST code generator for those functions, so the MIR path
-never loses language coverage while the pass pipeline
-(`mir_passes.PassManager`) optimizes everything scalar.
+Memory-shaped constructs (arrays, pointers, heap allocation, assignment
+through references) lower to explicit memory instructions — `alloca`
+(frame storage), `addr`, `slot_read`/`slot_write` (static-offset frame
+access), `load`/`store` (computed addresses -> double-deref opcodes), and
+`newarr` (reference-compatible heap bump) — mirroring the reference's
+Place/Projection + Load/Store MIR (`crates/compiler/mir/src/lowering/`).
+The pass pipeline optimizes the scalar SSA around them; the rare construct
+still outside the subset raises `Unsupported` and falls back to the direct
+AST code generator (tests assert the full mdtest corpus + sha256 lower
+through MIR with no fallback).
 """
 
 from __future__ import annotations
@@ -26,6 +31,19 @@ P = (1 << 31) - 1
 
 class Unsupported(Exception):
     """Construct outside the MIR subset -> AST-codegen fallback."""
+
+
+def _has_array(ty: Type) -> bool:
+    """True when the type transitively contains a fixed array — such values
+    are memory-resident (alloca place), not SSA aggregates."""
+    k = ty.kind
+    if k == "array":
+        return True
+    if k == "tuple":
+        return any(_has_array(m) for m in ty.members)
+    if k == "struct":
+        return any(_has_array(t) for _, t in ty.members)
+    return False
 
 
 # ---------------------------------------------------------------------------
@@ -136,6 +154,10 @@ class FnLowerer:
         self.n_values = 0
         self.cur: Block = self.new_block()
         self.env: dict[str, Value] = {}
+        # memory-resident variables (types containing arrays, or array
+        # params/returns passed as pointers): name -> ("alloca", Value of
+        # the frame storage) | ("ptr", felt Value holding the address)
+        self.mem_vars: dict[str, tuple] = {}
         self.loop_stack = []  # (continue_target_fn, break_collector)
         self.terminated = False
 
@@ -173,9 +195,15 @@ class FnLowerer:
     def lower(self) -> MirFunction:
         params = []
         for name, ty in self.sig.params:
-            if ty.kind in ("array", "pointer"):
-                raise Unsupported("array/pointer param")
+            if ty.kind == "array":
+                # ABI: arrays arrive as a 1-slot pointer (codegen.py:7)
+                v = self.new_value(FELT)
+                self.mem_vars[name] = ("ptr", v, ty)
+                params.append((name, v))
+                continue
             v = self.new_value(ty)
+            if _has_array(ty):
+                raise Unsupported("array-in-aggregate param")
             self.env[name] = v
             params.append((name, v))
         self.block_stmts(self.f.body)
@@ -195,8 +223,12 @@ class FnLowerer:
 
     def stmt(self, st):
         if isinstance(st, A.Let):
-            v = self.expr(st.value)
-            self._bind(st.pattern, v, st.value.ty)
+            ty = st.value.ty
+            if _has_array(ty):
+                self._let_memory(st, ty)
+            else:
+                v = self.expr(st.value)
+                self._bind(st.pattern, v, ty)
         elif isinstance(st, A.Assign):
             self._assign(st)
         elif isinstance(st, A.ExprStmt):
@@ -205,8 +237,10 @@ class FnLowerer:
             vals = []
             if st.value is not None:
                 if st.value.ty.kind == "array":
-                    raise Unsupported("array return")
-                vals = [self.expr(st.value)]
+                    # return by pointer (codegen.py _return)
+                    vals = [self._address_of(st.value)]
+                else:
+                    vals = [self.expr(st.value)]
             self.seal(Terminator("ret", args=vals))
         elif isinstance(st, A.If):
             self._if(st)
@@ -238,14 +272,168 @@ class FnLowerer:
             self._bind(p, part, mt)
             off += mt.slots()
 
-    def _assign(self, st: A.Assign):
-        val = self.expr(st.value)
-        tgt = st.target
-        if isinstance(tgt, A.Name):
-            if tgt.ident not in self.env:
-                raise Unsupported("assign to non-local")
-            self.env[tgt.ident] = val
+    # -- memory places --------------------------------------------------
+    # Values whose type transitively contains an array are memory-resident:
+    # locals get an `alloca` (frame storage, reference `Place` semantics —
+    # mir/src/lowering), array params arrive as pointers.  A *place* is
+    #   ("ssa", name)                       SSA env variable
+    #   ("frame", alloca_value, off, ty)    frame storage + static offset
+    #   ("mem", addr_value, off, ty)        computed address + static offset
+
+    def _let_memory(self, st: A.Let, ty: Type):
+        if not isinstance(st.pattern, str):
+            raise Unsupported("destructuring an array-typed value")
+        name = st.pattern
+        e = st.value
+        if isinstance(e, A.Call):
+            # arrays returned from calls arrive as pointers (codegen.py:160)
+            v = self._call_expr(e, ret_as_ptr=True)
+            self.mem_vars[name] = ("ptr", v, ty)
             return
+        if isinstance(e, A.Name) and e.ident in self.mem_vars:
+            # alias the same storage (AST-codegen parity: codegen.py:396)
+            self.mem_vars[name] = self.mem_vars[e.ident]
+            return
+        alloca = self.emit("alloca", ty)
+        self.mem_vars[name] = ("alloca", alloca, ty)
+        self._init_frame(alloca, 0, e)
+
+    def _init_frame(self, alloca: Value, off: int, e: A.Expr):
+        """Evaluate an array-containing literal into frame storage."""
+        ty = e.ty
+        if isinstance(e, (A.ArrayLit, A.TupleLit)):
+            members = (
+                [ty.element] * ty.size if ty.kind == "array" else ty.members
+            )
+            cur = off
+            for item, mt in zip(e.items, members):
+                self._init_frame(alloca, cur, item)
+                cur += mt.slots()
+            return
+        if isinstance(e, A.StructLit):
+            given = dict(e.fields)
+            cur = off
+            for n, ft in ty.members:
+                self._init_frame(alloca, cur, given[n])
+                cur += ft.slots()
+            return
+        if _has_array(ty):
+            # array-valued sub-expression (e.g. whole-array copy)
+            src = self._place(e)
+            self._copy_place_to_frame(alloca, off, src, ty)
+            return
+        v = self.expr(e)
+        self.emit("slot_write", None, args=[alloca, v], extra=off)
+
+    def _copy_place_to_frame(self, alloca, off, src_place, ty):
+        kind = src_place[0]
+        n = ty.slots()
+        if kind == "frame":
+            _, sa, soff, _ = src_place
+            v = self.emit("slot_read", ty, args=[sa], extra=soff)
+            self.emit("slot_write", None, args=[alloca, v], extra=off)
+        elif kind == "mem":
+            _, addr, soff, _ = src_place
+            v = self.emit("load", ty, args=[addr], extra=soff)
+            self.emit("slot_write", None, args=[alloca, v], extra=off)
+        else:
+            raise Unsupported("array copy from SSA place")
+
+    def _felt_index(self, e: A.Expr) -> Value:
+        """Index expression as a felt value (u32 -> lo + hi * 2^16)."""
+        v = self.expr(e)
+        if e.ty.kind == "u32":
+            lo = self.emit("extract", FELT, args=[v], extra=0)
+            hi = self.emit("extract", FELT, args=[v], extra=1)
+            c = self.const(FELT, 1 << 16)
+            t = self.emit("bin", FELT, op="*", args=[hi, c])
+            return self.emit("bin", FELT, op="+", args=[lo, t])
+        return v
+
+    def _place(self, e: A.Expr):
+        if isinstance(e, A.Name):
+            if e.ident in self.mem_vars:
+                kind, v, ty = self.mem_vars[e.ident]
+                if kind == "alloca":
+                    return ("frame", v, 0, ty)
+                return ("mem", v, 0, ty)
+            if e.ident in self.env:
+                return ("ssa", e.ident, 0, e.ty)
+            raise Unsupported(f"place name {e.ident}")
+        if isinstance(e, A.Member):
+            bty = e.base.ty
+            if bty.kind == "pointer":
+                addr = self.expr(e.base)
+                base = ("mem", addr, 0, bty.element)
+                bty = bty.element
+            else:
+                base = self._place(e.base)
+            if bty.kind == "tuple":
+                idx = int(e.field)
+                off = sum(m.slots() for m in bty.members[:idx])
+            else:
+                off, _ = bty.field_offset(e.field)
+            return (base[0], base[1], base[2] + off, e.ty)
+        if isinstance(e, A.Index):
+            bty = e.base.ty
+            esz = e.ty.slots()
+            if bty.kind == "pointer":
+                base_addr = self.expr(e.base)
+            else:
+                base_addr = self._address_of(e.base)
+            idx = self._felt_index(e.index)
+            if esz != 1:
+                c = self.const(FELT, esz)
+                idx = self.emit("bin", FELT, op="*", args=[idx, c])
+            addr = self.emit("bin", FELT, op="+", args=[base_addr, idx])
+            return ("mem", addr, 0, e.ty)
+        raise Unsupported(f"place expr {type(e).__name__}")
+
+    def _address_of(self, e: A.Expr) -> Value:
+        """Felt address of the first slot of e's storage."""
+        if e.ty.kind == "pointer":
+            return self.expr(e)
+        place = self._place(e)
+        kind = place[0]
+        if kind == "frame":
+            return self.emit("addr", FELT, args=[place[1]], extra=place[2])
+        if kind == "mem":
+            _, addr, off, _ = place
+            if off == 0:
+                return addr
+            c = self.const(FELT, off)
+            return self.emit("bin", FELT, op="+", args=[addr, c])
+        raise Unsupported("address of SSA value")
+
+    def _load_place(self, place) -> Value:
+        kind = place[0]
+        ty = place[3]
+        if kind == "frame":
+            return self.emit("slot_read", ty, args=[place[1]], extra=place[2])
+        if kind == "mem":
+            return self.emit("load", ty, args=[place[1]], extra=place[2])
+        raise AssertionError(kind)
+
+    def _assign(self, st: A.Assign):
+        tgt = st.target
+        if isinstance(tgt, A.Name) and tgt.ident in self.env:
+            self.env[tgt.ident] = self.expr(st.value)
+            return
+        if (
+            isinstance(tgt, A.Name)
+            or self._root_is_memory(tgt)
+            or self._through_pointer(tgt)
+        ):
+            place = self._place(tgt)
+            val = self.expr(st.value)
+            if place[0] == "frame":
+                self.emit("slot_write", None, args=[place[1], val], extra=place[2])
+            elif place[0] == "mem":
+                self.emit("store", None, args=[place[1], val], extra=place[2])
+            else:
+                raise Unsupported("assign to SSA place")
+            return
+        val = self.expr(st.value)
         # member assignment on scalar-aggregate vars: functional insert
         path = []
         base = tgt
@@ -257,8 +445,6 @@ class FnLowerer:
         off = 0
         bty = base.ty
         for m in reversed(path):
-            if bty.kind == "pointer":
-                raise Unsupported("assign through pointer")
             if bty.kind == "tuple":
                 idx = int(m.field)
                 off += sum(t.slots() for t in bty.members[:idx])
@@ -273,6 +459,20 @@ class FnLowerer:
         self.env[base.ident] = self.emit(
             "insert", agg.ty, args=[agg, val], extra=off
         )
+
+    def _root_is_memory(self, e) -> bool:
+        base = e
+        while isinstance(base, (A.Member, A.Index)):
+            base = base.base
+        return isinstance(base, A.Name) and base.ident in self.mem_vars
+
+    def _through_pointer(self, e) -> bool:
+        base = e
+        while isinstance(base, (A.Member, A.Index)):
+            if base.base.ty.kind == "pointer":
+                return True
+            base = base.base
+        return False
 
     # -- control flow --
 
@@ -321,14 +521,17 @@ class FnLowerer:
         then_b = self.new_block()
         else_b = self.new_block()
         self._branch(st.cond, then_b, else_b)
+        saved_mem = dict(self.mem_vars)
         self.switch(then_b)
         self.env = dict(entry_env)
         self.block_stmts(st.then)
         then_end = (None, None) if self.terminated else (self.cur, dict(self.env))
+        self.mem_vars = dict(saved_mem)
         self.switch(else_b)
         self.env = dict(entry_env)
         self.block_stmts(st.orelse)
         else_end = (None, None) if self.terminated else (self.cur, dict(self.env))
+        self.mem_vars = saved_mem
         self._merge_envs([then_end, else_end])
 
     def _loop_header(self, assigned):
@@ -400,6 +603,7 @@ class FnLowerer:
         cond_exit_env = dict(self.env)
         exit_placeholder = Terminator("br", args=[c], targets=[body_b.id, -1])
         self.seal(exit_placeholder)
+        saved_mem = dict(self.mem_vars)
         self.switch(body_b)
         self.env = dict(header_env)
         breaks = []
@@ -407,6 +611,7 @@ class FnLowerer:
         self.loop_stack.append((conts, breaks))
         self.block_stmts(st.body)
         self.loop_stack.pop()
+        self.mem_vars = saved_mem
         latches = [] if self.terminated else [(self.cur, dict(self.env))]
         latches += conts
         self._close_loop(header, phis, latches)
@@ -425,6 +630,7 @@ class FnLowerer:
         body_b = self.new_block()
         exit_placeholder = Terminator("br", args=[c], targets=[body_b.id, -1])
         self.seal(exit_placeholder)
+        saved_mem = dict(self.mem_vars)
         self.switch(body_b)
         self.env = dict(header_env)
         breaks = []
@@ -432,6 +638,7 @@ class FnLowerer:
         self.loop_stack.append((conts, breaks))
         self.block_stmts(st.body)
         self.loop_stack.pop()
+        self.mem_vars = saved_mem
         # step block: fallthrough body end + continues
         step_arms = ([] if self.terminated else [(self.cur, dict(self.env))]) + conts
         self._merge_envs(step_arms or [(None, None)])
@@ -451,11 +658,13 @@ class FnLowerer:
     def _loop(self, st: A.Loop):
         assigned = _assigned_names(st.body)
         header, phis = self._loop_header(assigned)
+        saved_mem = dict(self.mem_vars)
         breaks = []
         conts = []
         self.loop_stack.append((conts, breaks))
         self.block_stmts(st.body)
         self.loop_stack.pop()
+        self.mem_vars = saved_mem
         latches = ([] if self.terminated else [(self.cur, dict(self.env))]) + conts
         self._close_loop(header, phis, latches)
         self._exit_block(list(breaks))  # exit: breaks only
@@ -472,6 +681,14 @@ class FnLowerer:
         if isinstance(e, A.Name):
             if e.ident in self.env:
                 return self.env[e.ident]
+            if e.ident in self.mem_vars:
+                kind, v, _ = self.mem_vars[e.ident]
+                if ty.kind == "array":
+                    # array used as a value = its pointer (codegen.py:396)
+                    return v if kind == "ptr" else self.emit(
+                        "addr", FELT, args=[v], extra=0
+                    )
+                return self._load_place(self._place(e))
             if e.ident in self.tm.consts:
                 return self.const(FELT, self.tm.consts[e.ident])
             raise Unsupported(f"name {e.ident}")
@@ -483,29 +700,23 @@ class FnLowerer:
             b = self.expr(e.rhs)
             return self.emit("bin", ty, op=e.op, args=[a, b])
         if isinstance(e, A.Call):
-            sig = self.tm.functions[e.func]
-            if sig.ret.kind in ("array", "pointer"):
-                raise Unsupported("array-returning call")
-            args = []
-            for a, (_, pt) in zip(e.args, sig.params):
-                if pt.kind in ("array", "pointer"):
-                    raise Unsupported("array arg")
-                args.append(self.expr(a))
-            return self.emit("call", sig.ret, args=args, extra=e.func)
+            return self._call_expr(e)
         if isinstance(e, (A.TupleLit, A.ArrayLit)):
-            if ty.kind == "array":
-                raise Unsupported("array literal")
+            if _has_array(ty):
+                raise Unsupported("array literal as SSA value")
             items = [self.expr(it) for it in e.items]
             return self.emit("make", ty, args=items)
         if isinstance(e, A.StructLit):
+            if _has_array(ty):
+                raise Unsupported("array-holding struct as SSA value")
             given = dict(e.fields)
             items = [self.expr(given[n]) for n, _ in ty.members]
             return self.emit("make", ty, args=items)
         if isinstance(e, A.Member):
             base = e.base
             bty = base.ty
-            if bty.kind == "pointer":
-                raise Unsupported("pointer member")
+            if bty.kind == "pointer" or self._root_is_memory(e):
+                return self._load_place(self._place(e))
             v = self.expr(base)
             if bty.kind == "tuple":
                 idx = int(e.field)
@@ -513,12 +724,33 @@ class FnLowerer:
             else:
                 off, _ = bty.field_offset(e.field)
             return self.emit("extract", ty, args=[v], extra=off)
+        if isinstance(e, A.Index):
+            return self._load_place(self._place(e))
+        if isinstance(e, A.NewArray):
+            count = self._felt_index(e.count)
+            return self.emit(
+                "newarr", ty, args=[count], extra=ty.element.slots()
+            )
         if isinstance(e, A.Cast):
             v = self.expr(e.operand)
             return self.emit(
                 "cast", ty, op=f"{e.operand.ty.kind}->{ty.kind}", args=[v]
             )
         raise Unsupported(f"expr {type(e).__name__}")
+
+    def _call_expr(self, e: A.Call, ret_as_ptr: bool = False) -> Value:
+        sig = self.tm.functions[e.func]
+        args = []
+        for a, (_, pt) in zip(e.args, sig.params):
+            if pt.kind == "array":
+                args.append(self._address_of(a))  # arrays pass by pointer
+            else:
+                args.append(self.expr(a))
+        ret_ty = sig.ret
+        if ret_ty.kind == "array":
+            # pointer return (1 slot)
+            return self.emit("call", FELT, args=args, extra=e.func)
+        return self.emit("call", ret_ty, args=args, extra=e.func)
 
 
 def _assigned_names(stmts) -> set:

@@ -329,7 +329,84 @@ class MirFnCodegen:
             self.copy_slots(self.slot(agg), dst, agg.ty.slots())
             self.copy_slots(self.slot(val), dst + i.extra, val.ty.slots())
             return
+        # -- memory-shaped instructions (arrays / pointers / heap) --
+        if k == "alloca":
+            self.slot(i.dst)  # reserve the frame storage; no code
+            return
+        if k == "addr":
+            # felt address of frame storage + static offset
+            self.emit(
+                "StoreFramePointer",
+                imm=self.slot(i.args[0]) + i.extra,
+                dst_off=self.slot(i.dst),
+            )
+            return
+        if k == "slot_read":
+            # copy out of mutable frame storage (value semantics — a later
+            # slot_write must not change this value, so no aliasing)
+            dst = self.slot(i.dst)
+            self.copy_slots(self.slot(i.args[0]) + i.extra, dst, i.dst.ty.slots())
+            return
+        if k == "slot_write":
+            arr, val = i.args
+            self.copy_slots(
+                self.slot(val), self.slot(arr) + i.extra, val.ty.slots()
+            )
+            return
+        if k == "load":
+            addr = self.slot(i.args[0])
+            dst = self.slot(i.dst)
+            for j in range(i.dst.ty.slots()):
+                self.emit(
+                    "StoreDoubleDerefFp",
+                    base_off=addr, imm=i.extra + j, dst_off=dst + j,
+                )
+            return
+        if k == "store":
+            addr, val = i.args
+            a = self.slot(addr)
+            src = self.slot(val)
+            for j in range(val.ty.slots()):
+                self.emit(
+                    "StoreToDoubleDerefFpImm",
+                    base_off=a, imm=i.extra + j, src_off=src + j,
+                )
+            return
+        if k == "newarr":
+            self._newarr(i)
+            return
         raise Unsupported(f"instr {k}")
+
+    def _newarr(self, i):
+        """Reference-compatible heap bump allocation (codegen.py:_new_array,
+        generator.rs:89-186): read HEAP_CURSOR, compute the descending base,
+        advance the cursor."""
+        elem_slots = i.extra
+        MAX_ADDRESS = (1 << 28) - 1
+        hp_addr = self.alloc(1)
+        self.emit("StoreImm", imm=("label", "__HEAP_CURSOR__"), dst_off=hp_addr)
+        cur = self.alloc(1)
+        self.emit("StoreDoubleDerefFp", base_off=hp_addr, imm=0, dst_off=cur)
+        cnt = self.slot(i.args[0])
+        cells = cnt
+        if elem_slots != 1:
+            cells = self.alloc(1)
+            self.emit("StoreMulFpImm", src_off=cnt, imm=elem_slots, dst_off=cells)
+        s0 = self.alloc(1)
+        self.emit("StoreAddFpFp", src0_off=cur, src1_off=cells, dst_off=s0)
+        # never read+write the same cell in one instruction: the memory
+        # argument's rc20 on (clk - prev_clk - 1) forbids same-clock reuse
+        s = self.alloc(1)
+        self.emit("StoreAddFpImm", src_off=s0, imm=P - 1, dst_off=s)
+        mx = self.alloc(1)
+        self.emit("StoreImm", imm=MAX_ADDRESS, dst_off=mx)
+        base = self.slot(i.dst)
+        self.emit("StoreSubFpFp", src0_off=mx, src1_off=s, dst_off=base)
+        ncur = self.alloc(1)
+        self.emit("StoreAddFpFp", src0_off=cur, src1_off=cells, dst_off=ncur)
+        self.emit(
+            "StoreToDoubleDerefFpImm", base_off=hp_addr, imm=0, src_off=ncur
+        )
 
     def _const_needed(self, i):
         """A const needs a frame slot unless every use folds it into an

@@ -25,7 +25,12 @@ from .mir import Block, Instr, MirFunction, Terminator
 
 P = (1 << 31) - 1
 
-_PURE = {"const", "bin", "un", "cast", "make", "extract", "insert", "phi"}
+# alloca/addr/slot_read/load are droppable when unused (reads have no
+# side effect); store/slot_write/newarr/call mutate state and are kept.
+_PURE = {
+    "const", "bin", "un", "cast", "make", "extract", "insert", "phi",
+    "alloca", "addr", "slot_read", "load",
+}
 
 
 def _const_of(defs, v):
@@ -244,12 +249,21 @@ def local_cse(fn: MirFunction) -> bool:
     for b in fn.blocks:
         seen = {}
         for i in b.instrs:
-            if i.kind not in ("bin", "un", "cast", "extract", "make", "const"):
+            # NOTE: slot_read/load never CSE — frame/heap cells mutate
+            if i.kind not in ("bin", "un", "cast", "extract", "make", "const", "addr"):
                 continue
             args = tuple(
                 mapping.get(a.id, a).id for a in i.args
             )
-            key = (i.kind, i.op, args, i.extra if not isinstance(i.extra, list) else tuple(i.extra))
+            # the dst TYPE is part of the value identity: `const felt 0`
+            # and `const u32 0` share (kind, extra) but have different
+            # slot widths — merging them hands a 1-slot value to 2-slot
+            # consumers (phi edge copies read a neighboring slot)
+            key = (
+                i.kind, i.op, args,
+                i.extra if not isinstance(i.extra, list) else tuple(i.extra),
+                i.dst.ty.kind if i.dst is not None else None,
+            )
             hit = seen.get(key)
             if hit is not None:
                 mapping[i.dst.id] = hit.dst

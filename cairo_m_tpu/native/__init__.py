@@ -31,15 +31,21 @@ def _load():
         u32p, ctypes.c_uint64, ctypes.c_uint32, ctypes.c_uint32,
         u32p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint64,
     ]
+    lib.cm_run_resume.restype = ctypes.c_void_p
+    lib.cm_run_resume.argtypes = [
+        u32p, ctypes.c_uint64, u32p, ctypes.c_uint64, u32p, ctypes.c_uint64,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint64,
+    ]
     for name in (
         "cm_bundles", "cm_final_mem", "cm_initial_extra", "cm_clock_updates",
-        "cm_locals", "cm_heap",
+        "cm_locals", "cm_heap", "cm_sparse",
     ):
         getattr(lib, name).restype = u32p
         getattr(lib, name).argtypes = [ctypes.c_void_p]
     for name in (
         "cm_bundles_len", "cm_final_mem_len", "cm_initial_extra_len",
         "cm_clock_updates_len", "cm_n_steps", "cm_locals_len", "cm_heap_len",
+        "cm_sparse_len",
     ):
         getattr(lib, name).restype = ctypes.c_uint64
         getattr(lib, name).argtypes = [ctypes.c_void_p]
@@ -97,6 +103,32 @@ def run_raw(program_words: np.ndarray, entry_pc: int, fp_offset: int,
         ar.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(ar),
         ret_slots, max_steps,
     )
+    return _collect(lib, h, copy)
+
+
+def run_resume_raw(locals_: np.ndarray, heap: np.ndarray, sparse: np.ndarray,
+                   pc: int, fp: int, final_pc: int, max_steps: int,
+                   copy: bool = True):
+    """Resume a continuation segment from a full memory image.
+
+    locals_/heap: (n, 4) uint32 (heap index i = address MAX_ADDRESS - i);
+    sparse: (m, 5) uint32 (addr, v0..v3) far-gap cells.  The image becomes
+    the segment's clock-0 snapshot (see vm_core.cpp cm_run_resume)."""
+    lib = _load()
+    lo = np.ascontiguousarray(locals_, dtype=np.uint32)
+    he = np.ascontiguousarray(heap, dtype=np.uint32)
+    sp = np.ascontiguousarray(sparse, dtype=np.uint32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    h = lib.cm_run_resume(
+        lo.ctypes.data_as(u32p), lo.shape[0] if lo.size else 0,
+        he.ctypes.data_as(u32p), he.shape[0] if he.size else 0,
+        sp.ctypes.data_as(u32p), sp.shape[0] if sp.size else 0,
+        pc, fp, final_pc, max_steps,
+    )
+    return _collect(lib, h, copy)
+
+
+def _collect(lib, h, copy):
     if not h:
         raise MemoryError("native VM: allocation failed (cm_run returned NULL)")
     try:
@@ -119,9 +151,11 @@ def run_raw(program_words: np.ndarray, entry_pc: int, fp_offset: int,
             ),
             "locals": _arr(lib, h, "cm_locals", lib.cm_locals_len(h) * 4, copy),
             "heap": _arr(lib, h, "cm_heap", lib.cm_heap_len(h) * 4, copy),
+            "sparse": _arr(lib, h, "cm_sparse", lib.cm_sparse_len(h), copy),
         }
         out["locals"] = out["locals"].reshape(-1, 4)
         out["heap"] = out["heap"].reshape(-1, 4)
+        out["sparse"] = out["sparse"].reshape(-1, 5)
     except Exception:
         lib.cm_free(h)
         raise

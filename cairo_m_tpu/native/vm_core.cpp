@@ -86,9 +86,14 @@ OpInfo op_info(uint32_t op) {
 struct Memory {
   std::vector<QM31> locals, heap;
   // the initial-memory snapshot (locals after program load + entrypoint
-  // setup): addresses below snapshot_len are preloaded at clock 0
+  // setup): addresses below snapshot_len are preloaded at clock 0.
+  // Resumed segments also snapshot the heap side (and any sparse cells)
+  // so a first-access WRITE sees the previous segment's value as its
+  // prev_value — required for final_root(k) == initial_root(k+1).
   std::vector<QM31> snapshot;
   uint32_t snapshot_len = 0;
+  std::vector<QM31> snapshot_heap;
+  std::unordered_map<uint32_t, QM31> snapshot_sparse;
   // adapter state: tracked (value, clock, touched) per address, flat arrays
   // mirroring the locals/heap split (hash-free hot path).  Indices beyond
   // the data arrays are legal (reads of never-written cells), so the
@@ -165,8 +170,14 @@ struct Memory {
     QM31 prev_val;
     if (!cell->touched) {
       prev_clk = 0;
+      uint32_t hh = MAX_ADDRESS - addr;
       if (addr < snapshot_len) {
         prev_val = snapshot[addr];
+      } else if (hh < snapshot_heap.size()) {
+        prev_val = snapshot_heap[hh];
+      } else if (!snapshot_sparse.empty() &&
+                 snapshot_sparse.count(addr)) {
+        prev_val = snapshot_sparse[addr];
       } else {
         prev_val = value;  // first access adopts the value
         initial_extra.push_back(addr);
@@ -205,6 +216,7 @@ struct RunResult {
   std::vector<uint32_t> initial_extra;
   std::vector<uint32_t> clock_updates;
   std::vector<QM31> final_locals, final_heap;
+  std::vector<uint32_t> sparse_dump;  // addr, v0..v3 per far-gap cell
 };
 
 struct VM {
@@ -423,60 +435,8 @@ struct VM {
 RunResult* g_pool = nullptr;
 std::mutex g_pool_mu;
 
-}  // namespace
-
-extern "C" {
-
-// Runs the program; returns a heap-allocated RunResult*.
-// program: n_words QM31 cells (4*n_words u32 values).
-// args: arg_count M31 values. Returns NULL on alloc failure.
-void* cm_run(const uint32_t* program, uint64_t n_words, uint32_t entry_pc,
-             uint32_t fp_offset, const uint32_t* args, uint32_t arg_count,
-             uint32_t ret_slots, uint64_t max_steps) {
-  RunResult* out;
-  {
-    std::lock_guard<std::mutex> lk(g_pool_mu);
-    out = g_pool;
-    g_pool = nullptr;
-  }
-  if (out) {
-    out->status = 0;
-    out->bundles.clear();
-    out->final_mem.clear();
-  } else {
-    out = new (std::nothrow) RunResult();
-    if (!out) return nullptr;
-  }
-  VM vm;
-  vm.out = out;
-  // adopt the pooled buffers so their capacity is actually reused (they are
-  // move-assigned back into `out` at the end of the run)
-  vm.mem.locals = std::move(out->final_locals);
-  vm.mem.locals.clear();
-  vm.mem.heap = std::move(out->final_heap);
-  vm.mem.heap.clear();
-  vm.mem.initial_extra = std::move(out->initial_extra);
-  vm.mem.initial_extra.clear();
-  vm.mem.clock_updates = std::move(out->clock_updates);
-  vm.mem.clock_updates.clear();
-  try {
-  vm.mem.locals.resize(n_words);
-  for (uint64_t i = 0; i < n_words; i++)
-    std::memcpy(vm.mem.locals[i].v, program + 4 * i, 16);
-  vm.final_pc = (uint32_t)n_words;
-  uint32_t new_fp = (uint32_t)n_words + fp_offset;
-  // args at [new_fp - M - K - 2 + i]
-  for (uint32_t i = 0; i < arg_count; i++) {
-    uint32_t off = arg_count + ret_slots + 2 - i;
-    vm.mem.set_cell(new_fp - off, QM31{{args[i], 0, 0, 0}});
-  }
-  // entrypoint call cells
-  vm.mem.set_cell(new_fp - 2, QM31{{new_fp, 0, 0, 0}});
-  vm.mem.set_cell(new_fp - 1, QM31{{vm.final_pc, 0, 0, 0}});
-  vm.pc = entry_pc;
-  vm.fp = new_fp;
-  vm.mem.snapshot = vm.mem.locals;
-  vm.mem.snapshot_len = (uint32_t)vm.mem.locals.size();
+// shared run loop + result assembly for cm_run / cm_run_resume
+void run_and_finish(RunResult* out, VM& vm, uint64_t max_steps) {
   uint64_t steps = 0;
   while (vm.pc != vm.final_pc && steps < max_steps) {
     int rc = vm.step();
@@ -489,7 +449,6 @@ void* cm_run(const uint32_t* program, uint64_t n_words, uint32_t entry_pc,
   out->n_steps = steps;
   out->final_pc = vm.pc;
   out->final_fp = vm.fp;
-  // final memory table from tracked cells (flat locals + heap sides)
   for (uint32_t a = 0; a < vm.mem.tracked_locals.size(); a++) {
     const auto& c = vm.mem.tracked_locals[a];
     if (!c.touched) continue;
@@ -510,12 +469,126 @@ void* cm_run(const uint32_t* program, uint64_t n_words, uint32_t entry_pc,
     for (int k = 0; k < 4; k++) out->final_mem.push_back(c.value.v[k]);
     out->final_mem.push_back(c.clock);
   }
+  out->sparse_dump.clear();
+  for (const auto& [addr, v] : vm.mem.sparse_cells) {
+    out->sparse_dump.push_back(addr);
+    for (int k = 0; k < 4; k++) out->sparse_dump.push_back(v.v[k]);
+  }
   out->initial_extra = std::move(vm.mem.initial_extra);
   out->clock_updates = std::move(vm.mem.clock_updates);
   out->final_locals = std::move(vm.mem.locals);
   out->final_heap = std::move(vm.mem.heap);
+}
+
+RunResult* pool_take() {
+  RunResult* out;
+  {
+    std::lock_guard<std::mutex> lk(g_pool_mu);
+    out = g_pool;
+    g_pool = nullptr;
+  }
+  if (out) {
+    out->status = 0;
+    out->bundles.clear();
+    out->final_mem.clear();
+  } else {
+    out = new (std::nothrow) RunResult();
+  }
+  return out;
+}
+
+void adopt_pool_buffers(VM& vm, RunResult* out) {
+  vm.mem.locals = std::move(out->final_locals);
+  vm.mem.locals.clear();
+  vm.mem.heap = std::move(out->final_heap);
+  vm.mem.heap.clear();
+  vm.mem.initial_extra = std::move(out->initial_extra);
+  vm.mem.initial_extra.clear();
+  vm.mem.clock_updates = std::move(out->clock_updates);
+  vm.mem.clock_updates.clear();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Runs the program; returns a heap-allocated RunResult*.
+// program: n_words QM31 cells (4*n_words u32 values).
+// args: arg_count M31 values. Returns NULL on alloc failure.
+void* cm_run(const uint32_t* program, uint64_t n_words, uint32_t entry_pc,
+             uint32_t fp_offset, const uint32_t* args, uint32_t arg_count,
+             uint32_t ret_slots, uint64_t max_steps) {
+  RunResult* out = pool_take();
+  if (!out) return nullptr;
+  VM vm;
+  vm.out = out;
+  // adopt the pooled buffers so their capacity is actually reused (they are
+  // move-assigned back into `out` at the end of the run)
+  adopt_pool_buffers(vm, out);
+  try {
+  vm.mem.locals.resize(n_words);
+  for (uint64_t i = 0; i < n_words; i++)
+    std::memcpy(vm.mem.locals[i].v, program + 4 * i, 16);
+  vm.final_pc = (uint32_t)n_words;
+  uint32_t new_fp = (uint32_t)n_words + fp_offset;
+  // args at [new_fp - M - K - 2 + i]
+  for (uint32_t i = 0; i < arg_count; i++) {
+    uint32_t off = arg_count + ret_slots + 2 - i;
+    vm.mem.set_cell(new_fp - off, QM31{{args[i], 0, 0, 0}});
+  }
+  // entrypoint call cells
+  vm.mem.set_cell(new_fp - 2, QM31{{new_fp, 0, 0, 0}});
+  vm.mem.set_cell(new_fp - 1, QM31{{vm.final_pc, 0, 0, 0}});
+  vm.pc = entry_pc;
+  vm.fp = new_fp;
+  vm.mem.snapshot = vm.mem.locals;
+  vm.mem.snapshot_len = (uint32_t)vm.mem.locals.size();
+  run_and_finish(out, vm, max_steps);
   } catch (const std::bad_alloc&) {
     out->status = -8;  // out of memory (returned as a VM error, not a crash)
+    out->bundles.clear();
+    out->final_mem.clear();
+  }
+  return out;
+}
+
+// Resume a continuation segment from a full memory image (locals ascending,
+// heap descending from MAX_ADDRESS, sparse (addr, v0..v3) far-gap cells).
+// The whole image becomes the segment's clock-0 snapshot, so first-access
+// writes see the previous segment's value — final_root(k) == initial_root(k+1)
+// (reference vm/mod.rs:177-227 continuation semantics).
+void* cm_run_resume(const uint32_t* locals, uint64_t n_loc,
+                    const uint32_t* heap, uint64_t n_heap,
+                    const uint32_t* sparse, uint64_t n_sparse,
+                    uint32_t pc, uint32_t fp, uint32_t final_pc,
+                    uint64_t max_steps) {
+  RunResult* out = pool_take();
+  if (!out) return nullptr;
+  VM vm;
+  vm.out = out;
+  adopt_pool_buffers(vm, out);
+  try {
+  vm.mem.locals.resize(n_loc);
+  for (uint64_t i = 0; i < n_loc; i++)
+    std::memcpy(vm.mem.locals[i].v, locals + 4 * i, 16);
+  vm.mem.heap.resize(n_heap);
+  for (uint64_t i = 0; i < n_heap; i++)
+    std::memcpy(vm.mem.heap[i].v, heap + 4 * i, 16);
+  for (uint64_t i = 0; i < n_sparse; i++) {
+    QM31 v;
+    std::memcpy(v.v, sparse + 5 * i + 1, 16);
+    vm.mem.sparse_cells[sparse[5 * i]] = v;
+    vm.mem.snapshot_sparse[sparse[5 * i]] = v;
+  }
+  vm.mem.snapshot = vm.mem.locals;
+  vm.mem.snapshot_len = (uint32_t)n_loc;
+  vm.mem.snapshot_heap = vm.mem.heap;
+  vm.pc = pc;
+  vm.fp = fp;
+  vm.final_pc = final_pc;
+  run_and_finish(out, vm, max_steps);
+  } catch (const std::bad_alloc&) {
+    out->status = -8;
     out->bundles.clear();
     out->final_mem.clear();
   }
@@ -538,6 +611,8 @@ const uint32_t* cm_clock_updates(void* h) { return ((RunResult*)h)->clock_update
 uint64_t cm_locals_len(void* h) { return ((RunResult*)h)->final_locals.size(); }
 const uint32_t* cm_locals(void* h) { return (const uint32_t*)((RunResult*)h)->final_locals.data(); }
 uint64_t cm_heap_len(void* h) { return ((RunResult*)h)->final_heap.size(); }
+uint64_t cm_sparse_len(void* h) { return ((RunResult*)h)->sparse_dump.size(); }
+const uint32_t* cm_sparse(void* h) { return ((RunResult*)h)->sparse_dump.data(); }
 const uint32_t* cm_heap(void* h) { return (const uint32_t*)((RunResult*)h)->final_heap.data(); }
 
 // Pool (don't release) the freed result: its large buffers stay allocated

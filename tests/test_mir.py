@@ -181,17 +181,74 @@ fn main(a: u32) -> u32 {
     assert v_none == v_std
 
 
-def test_mir_unsupported_falls_back():
-    """Array-using functions fall back to the AST path and still work."""
+def test_mir_lowers_arrays():
+    """Array-using functions lower through MIR (alloca/load/store) and run
+    correctly — no AST fallback (VERDICT r3 item #7)."""
     src = """
 fn main() -> felt {
     let xs = [1, 2, 3, 4];
     let i = 2;
-    return xs[i] + xs[0];
+    xs[3] = xs[i] + 10;
+    return xs[i] + xs[0] + xs[3];
 }
 """
     tm = analyze(parse(src))
-    with pytest.raises(Unsupported):
-        lower_function(tm, tm.module.functions[0])
+    fn = lower_function(tm, tm.module.functions[0])  # must not raise
+    kinds = {i.kind for b in fn.blocks for i in b.instrs}
+    assert "alloca" in kinds and "load" in kinds
     (v,), _ = run(src, "main", [])
-    assert v == 4
+    assert v == 3 + 1 + 13
+
+
+def test_mir_lowers_heap_pointers():
+    """new T[n] + pointer stores/loads lower through MIR."""
+    src = """
+fn main() -> felt {
+    let p: felt* = new felt[3];
+    p[0] = 7;
+    p[1] = p[0] + 1;
+    p[2] = p[0] * p[1];
+    return p[0] + p[1] + p[2];
+}
+"""
+    tm = analyze(parse(src))
+    fn = lower_function(tm, tm.module.functions[0])
+    kinds = {i.kind for b in fn.blocks for i in b.instrs}
+    assert "newarr" in kinds and "store" in kinds
+    (v,), _ = run(src, "main", [])
+    assert v == 7 + 8 + 56
+
+
+def test_mir_covers_full_corpus():
+    """Every function of every mdtest program AND the sha256 example lowers
+    through the MIR pipeline — the AST fallback stays unused (VERDICT r3
+    item #7: the aggregate-heavy programs must reach the optimizer)."""
+    import os
+
+    from cairo_m_tpu.testing.mdtest import extract_tests
+
+    root = os.path.join(os.path.dirname(__file__), "mdtest")
+    sources = []
+    for dirpath, _, files in os.walk(root):
+        for f in sorted(files):
+            if f.endswith(".md"):
+                for t in extract_tests(os.path.join(dirpath, f)):
+                    if not getattr(t, "error", None):
+                        sources.append((f + ":" + t.name, t.cairo_source))
+    sha = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "sha256", "sha256.cm"
+    )
+    sources.append(("sha256.cm", open(sha).read()))
+    assert len(sources) > 80
+    fallbacks = []
+    for name, src in sources:
+        try:
+            tm = analyze(parse(src))
+        except Exception:
+            continue  # negative-diagnostic blocks
+        for f in tm.module.functions:
+            try:
+                run_pipeline(lower_function(tm, f))
+            except Unsupported as e:
+                fallbacks.append((name, f.name, str(e)))
+    assert fallbacks == [], f"{len(fallbacks)} AST fallbacks: {fallbacks[:10]}"

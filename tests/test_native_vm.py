@@ -107,3 +107,28 @@ def test_native_speed():
     # concurrent compile jobs; the native core measures ~1-5 Msteps/s
     # unloaded (see bench.py)
     assert pi.total_steps / dt > 2e4, f"only {pi.total_steps / dt:.0f} steps/s"
+
+
+def test_native_segments_match_python():
+    """Continuation via the native core: per-segment ProverInputs must match
+    the Python VM+adapter path exactly (bundles, memories, roots), and
+    consecutive roots must chain (final_root(k) == initial_root(k+1))."""
+    from cairo_m_tpu.prover.adapter.native_import import (
+        native_segment_prover_inputs,
+    )
+    from cairo_m_tpu.vm.runner import RunnerOptions
+
+    prog = compile_cairo(FIB).program
+    res = run_cairo_program(
+        prog, "main", [InputValue.number(40)], RunnerOptions(max_steps=100)
+    )
+    py_segs = [
+        import_from_runner_output(s, res.public_address_ranges)
+        for s in res.vm.segments
+    ]
+    nat_segs = list(native_segment_prover_inputs(prog, "main", [40], 100))
+    assert len(py_segs) == len(nat_segs) >= 3
+    for py, nat in zip(py_segs, nat_segs):
+        compare(py, nat)
+    for a, b in zip(nat_segs, nat_segs[1:]):
+        assert a.merkle_trees.final_root == b.merkle_trees.initial_root
