@@ -199,13 +199,30 @@ def bitrev_indices(log_size: int) -> np.ndarray:
 
 
 def bit_reverse(v, log_size: int):
-    """Permute the LAST axis by bit reversal (involution)."""
+    """Permute the LAST axis by bit reversal (involution).
+
+    Device path avoids a 2^L element gather (near scalar speed on TPU):
+    with i = a*B + b (a: LA bits, b: LB bits), rev(i) = rev_B(b)*A +
+    rev_A(a), so the permutation factors into two LEADING-axis row takes
+    (contiguous block copies) around one transpose:
+    out.reshape(A, B)[a, b] = v.reshape(B, A)[rev_B(b), rev_A(a)].
+    """
     import jax.numpy as jnp
 
     rev = bitrev_indices(log_size)
     if isinstance(v, np.ndarray):
         return v[..., rev]
-    return jnp.take(v, jnp.asarray(rev), axis=-1)
+    if log_size <= 10:
+        return jnp.take(v, jnp.asarray(rev), axis=-1)
+    LA = log_size // 2
+    LB = log_size - LA
+    A, B = 1 << LA, 1 << LB
+    lead = v.shape[:-1]
+    t = v.reshape(lead + (B, A))
+    t = jnp.take(t, jnp.asarray(bitrev_indices(LB).astype(np.int32)), axis=-2)
+    t = jnp.swapaxes(t, -1, -2)  # (A, B)
+    t = jnp.take(t, jnp.asarray(bitrev_indices(LA).astype(np.int32)), axis=-2)
+    return t.reshape(lead + (1 << log_size,))
 
 
 def to_commit_order(rows, log_size: int):

@@ -54,6 +54,34 @@ def twiddles_dev(log_size: int, inverse: bool):
     return tuple(jnp.asarray(t) for t in src)
 
 
+# Two-stage butterfly layout.  A naive level loop keeps the butterfly pair
+# axis on the LAST (lane) dimension; once the block half-size drops below
+# the 128-lane VPU tile every op runs at a fraction of lane width —
+# measured 9 s for ONE 2^20 column on TPU v5e.  Levels are instead split at
+# 2^_SPLIT_LOG: outer levels pair whole rows of an (n1, n2) matrix view
+# (last axis stays n2), then ONE transpose moves the within-row levels onto
+# the leading axis (last axis becomes n1).  Every elementwise op keeps a
+# >= 2^_SPLIT_LOG trailing dim; the transposes run at memory bandwidth.
+_SPLIT_LOG = 9
+
+
+def _pad_lead(v):
+    """Pad the leading (batch) axis to a multiple of 8 around the two-stage
+    transposes.  XLA TPU MISCOMPILES the jitted (k, n1, n2) swapaxes chain
+    for some non-multiple-of-8 k — observed at (12, 2^19) and (13, 2^19):
+    the LAST batch column comes back corrupted (zeros), while 8/16/48 are
+    fine (bisected on hardware; the corrupt commitment surfaced as a
+    CPU-vs-TPU proof byte diff).  Returns (padded, original_k or None)."""
+    if v.ndim < 2:
+        return v[None], 0
+    k = v.shape[0]
+    if v.ndim == 2 and k % 8:
+        kp = (k + 7) // 8 * 8
+        pad = jnp.zeros((kp - k,) + v.shape[1:], v.dtype)
+        return jnp.concatenate([v, pad], axis=0), k
+    return v, None
+
+
 def ifft(values, log_size: int, itw=None):
     """Evaluations (..., 2^log_size) in FFT order -> coefficients.
 
@@ -66,15 +94,48 @@ def ifft(values, log_size: int, itw=None):
     if itw is None:
         itw = _twiddles_dev(log_size, inverse=True)
     lead = v.shape[:-1]
-    for j in range(log_size):
-        half = n >> (j + 1)
-        v = v.reshape(lead + (1 << j, 2, half))
-        a = v[..., 0, :]
-        b = v[..., 1, :]
+    if log_size <= _SPLIT_LOG:
+        for j in range(log_size):
+            half = n >> (j + 1)
+            v = v.reshape(lead + (1 << j, 2, half))
+            a = v[..., 0, :]
+            b = v[..., 1, :]
+            f0 = m31.add(a, b)
+            f1 = m31.mul(m31.sub(a, b), itw[j])
+            v = jnp.stack([f0, f1], axis=-2)
+        v = v.reshape(lead + (n,))
+        scale = pow((P + 1) // 2, log_size, P)
+        return m31.mul(v, jnp.uint32(scale))
+    v, orig_k = _pad_lead(v)
+    lead = v.shape[:-1]
+    L2 = _SPLIT_LOG
+    L1 = log_size - L2
+    n1, n2 = 1 << L1, 1 << L2
+    # outer levels: pair distance >= n2 -> butterflies across rows
+    for j in range(L1):
+        rows = n1 >> (j + 1)
+        v = v.reshape(lead + (1 << j, 2, rows, n2))
+        a = v[..., 0, :, :]
+        b = v[..., 1, :, :]
         f0 = m31.add(a, b)
-        f1 = m31.mul(m31.sub(a, b), itw[j])
-        v = jnp.stack([f0, f1], axis=-2)
-    v = v.reshape(lead + (n,))
+        f1 = m31.mul(m31.sub(a, b), itw[j].reshape(rows, n2))
+        v = jnp.stack([f0, f1], axis=-3)
+    v = jnp.swapaxes(v.reshape(lead + (n1, n2)), -1, -2)
+    # inner levels: within-row folds, now on the leading structure axis
+    for j in range(L1, log_size):
+        half = n >> (j + 1)
+        blocks = n2 // (2 * half)
+        v = v.reshape(lead + (blocks, 2, half, n1))
+        a = v[..., 0, :, :]
+        b = v[..., 1, :, :]
+        f0 = m31.add(a, b)
+        f1 = m31.mul(m31.sub(a, b), itw[j].reshape(half, 1))
+        v = jnp.stack([f0, f1], axis=-3)
+    v = jnp.swapaxes(v.reshape(lead + (n2, n1)), -1, -2).reshape(lead + (n,))
+    if orig_k == 0:
+        v = v[0]
+    elif orig_k is not None:
+        v = v[:orig_k]
     scale = pow((P + 1) // 2, log_size, P)  # 2^-log_size
     return m31.mul(v, jnp.uint32(scale))
 
@@ -88,13 +149,42 @@ def fft(coeffs, log_size: int, tw=None):
     if tw is None:
         tw = _twiddles_dev(log_size, inverse=False)
     lead = v.shape[:-1]
-    for j in range(log_size - 1, -1, -1):
+    if log_size <= _SPLIT_LOG:
+        for j in range(log_size - 1, -1, -1):
+            half = n >> (j + 1)
+            v = v.reshape(lead + (1 << j, 2, half))
+            a = v[..., 0, :]
+            b = m31.mul(v[..., 1, :], tw[j])
+            v = jnp.stack([m31.add(a, b), m31.sub(a, b)], axis=-2)
+        return v.reshape(lead + (n,))
+    v, orig_k = _pad_lead(v)
+    lead = v.shape[:-1]
+    L2 = _SPLIT_LOG
+    L1 = log_size - L2
+    n1, n2 = 1 << L1, 1 << L2
+    # inner levels first (j = log_size-1 .. L1): within-row, transposed view
+    v = jnp.swapaxes(v.reshape(lead + (n1, n2)), -1, -2)
+    for j in range(log_size - 1, L1 - 1, -1):
         half = n >> (j + 1)
-        v = v.reshape(lead + (1 << j, 2, half))
-        a = v[..., 0, :]
-        b = m31.mul(v[..., 1, :], tw[j])
-        v = jnp.stack([m31.add(a, b), m31.sub(a, b)], axis=-2)
-    return v.reshape(lead + (n,))
+        blocks = n2 // (2 * half)
+        v = v.reshape(lead + (blocks, 2, half, n1))
+        a = v[..., 0, :, :]
+        b = m31.mul(v[..., 1, :, :], tw[j].reshape(half, 1))
+        v = jnp.stack([m31.add(a, b), m31.sub(a, b)], axis=-3)
+    v = jnp.swapaxes(v.reshape(lead + (n2, n1)), -1, -2)
+    # outer levels (j = L1-1 .. 0): across rows
+    for j in range(L1 - 1, -1, -1):
+        rows = n1 >> (j + 1)
+        v = v.reshape(lead + (1 << j, 2, rows, n2))
+        a = v[..., 0, :, :]
+        b = m31.mul(v[..., 1, :, :], tw[j].reshape(rows, n2))
+        v = jnp.stack([m31.add(a, b), m31.sub(a, b)], axis=-3)
+    v = v.reshape(lead + (n,))
+    if orig_k == 0:
+        return v[0]
+    if orig_k is not None:
+        return v[:orig_k]
+    return v
 
 
 def lde(values_fft_order, log_size: int, eval_log_size: int):

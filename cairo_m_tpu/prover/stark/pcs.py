@@ -42,9 +42,17 @@ def _commit_pipeline(trace_log: int, commit_log: int):
 
     def f(stacked, itw, tw):
         coeffs = fft.ifft(stacked, trace_log, itw)
+        # optimization_barrier between stages: near-free (all three results
+        # are outputs and materialize anyway) and it limits the blast
+        # radius of XLA TPU miscompiles of fused transform chains — one
+        # such bug (non-multiple-of-8 batch dims through the two-stage FFT
+        # transposes, fixed by fft._pad_lead) silently zeroed part of a
+        # committed column and was only caught as a CPU-vs-TPU proof diff.
+        coeffs = jax.lax.optimization_barrier(coeffs)
         ext = fft.fft(
             fft.embed_coeffs(coeffs, trace_log, commit_log), commit_log, tw
         )
+        ext = jax.lax.optimization_barrier(ext)
         return coeffs, ext, domain.bit_reverse(ext, commit_log)
 
     jitted = jax.jit(f)
