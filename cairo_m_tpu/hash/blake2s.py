@@ -175,3 +175,66 @@ def hash_words_np(cols) -> np.ndarray:
         d = hashlib.blake2s(stacked[i].astype("<u4").tobytes()).digest()
         out[i] = np.frombuffer(d, dtype="<u4")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Vectorized NumPy path — same algorithm as hash_words, plain uint32 arrays.
+# Used by the host Merkle-pyramid tails (prover/stark/merkle.py), where a
+# device dispatch costs more tunnel latency than hashing 2^16 nodes on host.
+# ---------------------------------------------------------------------------
+
+
+def _g_np(v, a, b, c, d, x, y):
+    u32 = np.uint32
+    v[a] = (v[a] + v[b] + x).astype(u32)
+    v[d] = _rotr(v[d] ^ v[a], 16)
+    v[c] = (v[c] + v[d]).astype(u32)
+    v[b] = _rotr(v[b] ^ v[c], 12)
+    v[a] = (v[a] + v[b] + y).astype(u32)
+    v[d] = _rotr(v[d] ^ v[a], 8)
+    v[c] = (v[c] + v[d]).astype(u32)
+    v[b] = _rotr(v[b] ^ v[c], 7)
+
+
+def _compress_np(h, m, t: int, last: bool):
+    u32 = np.uint32
+    v = list(h) + [np.full_like(h[0], iv) for iv in IV]
+    v[12] = v[12] ^ u32(t & 0xFFFFFFFF)
+    v[13] = v[13] ^ u32((t >> 32) & 0xFFFFFFFF)
+    if last:
+        v[14] = v[14] ^ u32(0xFFFFFFFF)
+    for s in SIGMA:
+        _g_np(v, 0, 4, 8, 12, m[s[0]], m[s[1]])
+        _g_np(v, 1, 5, 9, 13, m[s[2]], m[s[3]])
+        _g_np(v, 2, 6, 10, 14, m[s[4]], m[s[5]])
+        _g_np(v, 3, 7, 11, 15, m[s[6]], m[s[7]])
+        _g_np(v, 0, 5, 10, 15, m[s[8]], m[s[9]])
+        _g_np(v, 1, 6, 11, 12, m[s[10]], m[s[11]])
+        _g_np(v, 2, 7, 8, 13, m[s[12]], m[s[13]])
+        _g_np(v, 3, 4, 9, 14, m[s[14]], m[s[15]])
+    return [h[i] ^ v[i] ^ v[i + 8] for i in range(8)]
+
+
+def hash_words_np_vec(cols) -> list:
+    """NumPy twin of `hash_words`: list of equal-shape uint32 arrays ->
+    list of 8 digest-word arrays.  Cross-checked in tests/test_hash.py."""
+    with np.errstate(over="ignore"):
+        cols = [np.asarray(c, dtype=np.uint32) for c in cols]
+        n_words = len(cols)
+        n_bytes = n_words * 4
+        shape_like = cols[0]
+        h = [
+            np.full_like(
+                shape_like, IV[i] ^ (_PARAM0 if i == 0 else 0), dtype=np.uint32
+            )
+            for i in range(8)
+        ]
+        zero = np.zeros_like(shape_like)
+        n_blocks = max(1, -(-n_words // 16))
+        for blk in range(n_blocks):
+            block = cols[blk * 16 : (blk + 1) * 16]
+            block = list(block) + [zero] * (16 - len(block))
+            is_last = blk == n_blocks - 1
+            t = n_bytes if is_last else (blk + 1) * 64
+            h = _compress_np(h, block, t, is_last)
+        return h

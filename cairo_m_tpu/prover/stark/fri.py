@@ -195,6 +195,43 @@ def _fold_pair_host(v0, v1, inv_tw, alpha):
     return qscalar_add(f0, qscalar_mul(f1, alpha))
 
 
+# Layers at or below this log size run ENTIRELY on host (NumPy folds +
+# hashlib Merkle trees): the FRI loop is serial through the Fiat-Shamir
+# channel (root -> mix -> draw -> fold), so each small layer costs a full
+# device round trip for microseconds of math.  One layer pull at the
+# boundary replaces ~_FRI_HOST_LOG round trips.
+_FRI_HOST_LOG = 11
+
+
+def _fold_pairs_np(col4, inv_tw, alpha):
+    """Host vectorized fold: col4 tuple of 4 (n,) uint32; -> 4 x (n/2,)."""
+    from ...field import m31 as m31f
+
+    a = tuple(c[0::2] for c in col4)
+    b = tuple(c[1::2] for c in col4)
+    f0 = tuple(m31f.mul_np(m31f.add_np(x, y), np.uint32(INV2)) for x, y in zip(a, b))
+    diff = tuple(m31f.sub_np(x, y) for x, y in zip(a, b))
+    f1 = tuple(
+        m31f.mul_np(m31f.mul_np(d, inv_tw), np.uint32(INV2)) for d in diff
+    )
+    aw = tuple(np.uint32(int(x)) for x in alpha)
+    t = qmul_np(f1, tuple(np.full_like(f1[0], w) for w in aw))
+    return tuple(m31f.add_np(x, y) for x, y in zip(f0, t))
+
+
+def _combine_np(cols, weight):
+    """Host combine: sum_j weight^(m-1-j) * cols[j]."""
+    from ...field import m31 as m31f
+
+    acc = cols[0]
+    w = tuple(np.full_like(cols[0][0], int(x)) for x in weight)
+    for c in cols[1:]:
+        acc = tuple(
+            m31f.add_np(x, y) for x, y in zip(qmul_np(acc, w), c)
+        )
+    return acc
+
+
 def pair_positions(queries, max_log: int, l: int):
     """Opened pair positions in a size-2^l structure for top-level queries."""
     return sorted({q for p in queries for q in ((p >> (max_log - l)) & ~1, (p >> (max_log - l)) | 1)})
@@ -266,22 +303,62 @@ class FriProver:
             top, y_inv, _q4(a0sq), _q4(alpha0)
         )  # (4, n/2)
         k = self.max_log - 1
+        on_host = False
         while k > last:
-            tree = merkle.commit(layer)
+            if not on_host and k <= _FRI_HOST_LOG:
+                layer = np.asarray(layer)  # ONE pull; tail runs on host
+                on_host = True
+            if on_host:
+                tree = merkle.commit(np.asarray(layer))  # host pyramid
+            else:
+                tree = merkle.commit(layer)
             self.inner_trees.append((k, tree))
             channel.mix_root(tree.root())
             alpha = channel.draw_felt()
-            x_inv = _fri_tw_dev(self.max_log, self.max_log - k)
             fold_in = by_log.get(k)  # columns entering at the NEXT size
-            if fold_in:
-                asq = qscalar_mul(alpha, alpha)
-                y_inv_k = _fri_tw_dev(k, 0)
-                stack = jnp.stack([jnp.stack(c) for c in fold_in])
-                layer = _fold_line_jit(k, int(stack.shape[0]))(
-                    layer, x_inv, _q4(alpha), stack, y_inv_k, _q4(asq)
-                )
+            if on_host:
+                x_inv_np = domain.fri_twiddles_bitrev(self.max_log)[
+                    self.max_log - k
+                ]
+                l4 = tuple(np.asarray(layer[j]) for j in range(4))
+                folded = _fold_pairs_np(l4, x_inv_np, alpha)
+                if fold_in:
+                    asq = qscalar_mul(alpha, alpha)
+                    y_inv_np = domain.fri_twiddles_bitrev(k)[0]
+                    # one pull for all entering columns (vs 4 per column)
+                    pulled = (
+                        fold_in
+                        if isinstance(fold_in[0][0], np.ndarray)
+                        else np.asarray(
+                            jnp.stack([jnp.stack(c) for c in fold_in])
+                        )
+                    )
+                    cols = [
+                        tuple(pulled[i][j] for j in range(4))
+                        for i in range(len(fold_in))
+                    ]
+                    fin = _fold_pairs_np(
+                        _combine_np(cols, asq), y_inv_np, alpha
+                    )
+                    aw = tuple(np.full_like(folded[0], int(x)) for x in asq)
+                    from ...field import m31 as m31f
+
+                    folded = tuple(
+                        m31f.add_np(x, y)
+                        for x, y in zip(qmul_np(folded, aw), fin)
+                    )
+                layer = np.stack(folded)
             else:
-                layer = _fold_line_jit(k, 0)(layer, x_inv, _q4(alpha))
+                x_inv = _fri_tw_dev(self.max_log, self.max_log - k)
+                if fold_in:
+                    asq = qscalar_mul(alpha, alpha)
+                    y_inv_k = _fri_tw_dev(k, 0)
+                    stack = jnp.stack([jnp.stack(c) for c in fold_in])
+                    layer = _fold_line_jit(k, int(stack.shape[0]))(
+                        layer, x_inv, _q4(alpha), stack, y_inv_k, _q4(asq)
+                    )
+                else:
+                    layer = _fold_line_jit(k, 0)(layer, x_inv, _q4(alpha))
             k -= 1
 
         host = np.asarray(layer)

@@ -53,13 +53,58 @@ def _hash_inner(digests):
     return jnp.stack(blake2s.hash_words(msg))
 
 
-class MerkleTree:
-    """One tree over equal-length uint32 columns (length 2^log_size)."""
+# Pyramid levels at or below this node count finish on the HOST: each inner
+# level is one device dispatch + (for the root) one device->host pull, and at
+# small sizes dispatch latency over the accelerator tunnel dwarfs the hash
+# work.  One (8, 2^_HOST_TOP_LOG) pull (~32 KB) replaces _HOST_TOP_LOG
+# dispatches per tree — a large win for the ~20 serial FRI layer trees whose
+# roots feed the Fiat-Shamir channel one by one.
+_HOST_TOP_LOG = 10
 
-    def __init__(self, columns):
-        """columns: list of 1-D arrays, or one stacked (n_cols, n) array."""
+
+def _host_inner_levels(digests_np: np.ndarray):
+    """digests_np: (m, 8) level -> list of all upper levels [(m/2, 8), ...]
+    via the vectorized NumPy BLAKE2s (blake2s.hash_words_np_vec)."""
+    levels = []
+    cur = digests_np
+    while cur.shape[0] > 1:
+        pairs = cur.reshape(-1, 16)  # (m/2, 16): left digest words, right
+        nxt = np.stack(
+            blake2s.hash_words_np_vec([pairs[:, w] for w in range(16)]),
+            axis=1,
+        )
+        levels.append(nxt.astype(np.uint32))
+        cur = nxt
+    return levels
+
+
+class MerkleTree:
+    """One tree over equal-length uint32 columns (length 2^log_size).
+
+    Hybrid pyramid: leaf digests + large inner levels on device (one batched
+    BLAKE2s per level, `levels`, (8, m) each); the first level of
+    <= 2^_HOST_TOP_LOG nodes is pulled once and the pyramid finishes on
+    host (`host_chain`: (m, 8) np arrays for levels D-1..root, where D =
+    len(levels); host_chain[0] is the pulled copy of the last device
+    level).  NumPy input builds entirely on host, levels == [] and
+    host_chain covers every level (used by the FRI tail layers)."""
+
+    def __init__(self, columns, defer_top: bool = False):
+        """columns: list of 1-D arrays, or one stacked (n_cols, n) array.
+
+        ``defer_top=True``: don't pull the top device level yet — the
+        caller batches many trees' tops into ONE device->host transfer and
+        calls `finish_host` on each (a sync round trip costs 27-80 ms over
+        the accelerator tunnel; a phase builds up to ~9 trees)."""
+        host_input = isinstance(columns, np.ndarray) or (
+            isinstance(columns, (list, tuple))
+            and columns
+            and isinstance(columns[0], np.ndarray)
+        )
         if isinstance(columns, (list, tuple)):
-            stacked = jnp.stack(list(columns))
+            stacked = (
+                np.stack(list(columns)) if host_input else jnp.stack(list(columns))
+            )
         else:
             stacked = columns
         n_cols, n = int(stacked.shape[0]), int(stacked.shape[1])
@@ -67,6 +112,22 @@ class MerkleTree:
         self.log_size = n.bit_length() - 1
         assert 1 << self.log_size == n
         kp = _pad_cols(n_cols)
+        self.levels = []  # device levels, (8, m) each, largest first
+        if host_input:
+            from ...hash import blake2s
+
+            hashed = stacked
+            if kp != n_cols:
+                hashed = np.concatenate(
+                    [stacked, np.zeros((kp - n_cols, n), np.uint32)], axis=0
+                )
+            leaf = np.stack(
+                blake2s.hash_words_np_vec(list(hashed)), axis=1
+            )  # (n, 8)
+            self.host_chain = [leaf] + _host_inner_levels(leaf)
+            self.root_dev = None
+            self._root = self.host_chain[-1][0].astype("<u4").tobytes()
+            return
         hashed = (
             stacked
             if kp == n_cols
@@ -81,17 +142,25 @@ class MerkleTree:
         else:
             digests = _hash_leaf(hashed)
         self.levels = [digests]  # (8, m) per level
-        while int(digests.shape[1]) > 1:
+        while int(digests.shape[1]) > (1 << _HOST_TOP_LOG):
             digests = _hash_inner(digests)
             self.levels.append(digests)
-        # root stays on device until asked for — callers batch-pull roots of
-        # many trees in one transfer (the axon tunnel charges per pull)
-        self.root_dev = self.levels[-1][:, 0]  # (8,) uint32
-        self._root = None
+        self.top_dev = digests  # (8, m), m <= 2^_HOST_TOP_LOG
+        self.root_dev = None
+        if defer_top:
+            self.host_chain = None  # caller batch-pulls and finish_host()es
+            self._root = None
+        else:
+            self.finish_host(np.asarray(digests))
+
+    def finish_host(self, top_words: np.ndarray):
+        """Complete the pyramid on host from the pulled (8, m) top level."""
+        top = np.asarray(top_words).T.copy()  # (m, 8)
+        # host chain: level D-1 (the pulled copy) and all its ancestors
+        self.host_chain = [top] + _host_inner_levels(top)
+        self._root = self.host_chain[-1][0].astype("<u4").tobytes()
 
     def root(self) -> bytes:
-        if self._root is None:
-            self.set_root_words(np.asarray(self.root_dev))
         return self._root
 
     def set_root_words(self, words8):
@@ -127,26 +196,40 @@ class MerkleDecommitment:
 class DecommitPlan:
     """Device gathers + metadata for opening one tree; `finish` assembles
     the decommitment from the host copy of `flat`.  Callers concatenate many
-    plans' `flat` arrays and pull them in ONE device->host transfer."""
+    plans' `flat` arrays and pull them in ONE device->host transfer.
+
+    Siblings from the tree's host-resident upper levels are collected
+    directly (no device traffic) and appended after the device-level
+    siblings — the same order the verifier consumes them in."""
 
     def __init__(self, tree: MerkleTree, positions):
         self.positions = sorted(set(int(p) for p in positions))
         self.n_cols = int(tree.columns.shape[0])
-        pos_arr = jnp.asarray(np.array(self.positions, np.int32))
-        parts = [jnp.take(tree.columns, pos_arr, axis=1).reshape(-1)]
-        # one gather over the packed level pyramid instead of one per level
+        host_tree = not tree.levels
+        pos_np = np.array(self.positions, np.int32)
+        if host_tree:
+            parts_np = [np.take(tree.columns, pos_np, axis=1).reshape(-1)]
+        else:
+            pos_arr = jnp.asarray(pos_np)
+            parts = [jnp.take(tree.columns, pos_arr, axis=1).reshape(-1)]
+        # one gather over the packed device pyramid instead of one per level
         # (tunnel dispatch latency makes per-level takes the decommit cost).
         # `packed` stays local: every tree is decommitted exactly once per
         # proof, so caching it on the tree only extends device-memory
         # lifetime without reuse.
+        n_dev = len(tree.levels)
         packed = None
-        if len(tree.levels) > 1:
+        if n_dev > 1:
             packed = jnp.concatenate(tree.levels[:-1], axis=1)
+        # host_chain[0] corresponds to pyramid level max(n_dev - 1, 0)
+        chain_base = max(n_dev - 1, 0)
+        n_levels = chain_base + len(tree.host_chain)
         level_off = 0
         sib_idx = []
         self.sib_counts = []
+        self.host_siblings = []  # 32-byte digests, level order
         cur = self.positions
-        for lvl in range(len(tree.levels) - 1):
+        for lvl in range(n_levels - 1):
             cur_set = set(cur)
             sibs = [p ^ 1 for p in cur if (p ^ 1) not in cur_set]
             parents = []
@@ -154,18 +237,31 @@ class DecommitPlan:
                 par = p >> 1
                 if not parents or parents[-1] != par:
                     parents.append(par)
-            self.sib_counts.append(len(sibs))
-            sib_idx += [level_off + s for s in sibs]
-            level_off += int(tree.levels[lvl].shape[1])
+            if lvl < n_dev - 1:
+                # device level (gathered from `packed`)
+                self.sib_counts.append(len(sibs))
+                sib_idx += [level_off + s for s in sibs]
+                level_off += int(tree.levels[lvl].shape[1])
+            else:
+                hl = tree.host_chain[lvl - chain_base]
+                for s in sibs:
+                    self.host_siblings.append(hl[s].astype("<u4").tobytes())
             cur = parents
-        if sib_idx:
-            parts.append(
-                jnp.take(
-                    packed, jnp.asarray(np.array(sib_idx, np.int32)), axis=1
-                ).T.reshape(-1)  # (S, 8) word-major per digest
-            )
-        self.flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-        self.size = int(self.flat.shape[0])
+        if not host_tree:
+            if sib_idx:
+                parts.append(
+                    jnp.take(
+                        packed, jnp.asarray(np.array(sib_idx, np.int32)), axis=1
+                    ).T.reshape(-1)  # (S, 8) word-major per digest
+                )
+            self.flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+            self.host_flat = None
+        else:
+            self.flat = None
+            self.host_flat = parts_np[0]
+        self.size = int(
+            (self.host_flat if self.flat is None else self.flat).shape[0]
+        )
 
     def finish(self, host_flat: np.ndarray) -> MerkleDecommitment:
         P_ = len(self.positions)
@@ -181,20 +277,29 @@ class DecommitPlan:
             off += 8 * s
             for j in range(s):
                 siblings.append(words[j].astype("<u4").tobytes())
+        siblings += self.host_siblings
         return MerkleDecommitment(values, siblings)
 
 
 def finish_plans(plans: list) -> list:
-    """Pull every plan's gathers in one transfer; return decommitments."""
+    """Pull every plan's device gathers in one transfer; host-only plans
+    finish without device traffic."""
     if not plans:
         return []
-    flat = jnp.concatenate([p.flat for p in plans])
-    host = np.asarray(flat)
+    dev_plans = [p for p in plans if p.flat is not None]
+    host = (
+        np.asarray(jnp.concatenate([p.flat for p in dev_plans]))
+        if dev_plans
+        else None
+    )
     out = []
     off = 0
     for p in plans:
-        out.append(p.finish(host[off : off + p.size]))
-        off += p.size
+        if p.flat is None:
+            out.append(p.finish(p.host_flat))
+        else:
+            out.append(p.finish(host[off : off + p.size]))
+            off += p.size
     return out
 
 

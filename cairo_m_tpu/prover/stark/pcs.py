@@ -142,7 +142,19 @@ class CommitmentPhase:
             self.stacked_coeffs[l] = coeffs
             self.stacked_ext[cl] = ext_cols
             self.stacked_commit[cl] = commit_cols
-            self.trees[cl] = merkle.commit(commit_cols)
+            self.trees[cl] = merkle.MerkleTree(commit_cols, defer_top=True)
+        # ONE device->host pull for every tree's top level, then the host
+        # pyramids (a sync pull costs 27-80 ms over the tunnel)
+        logs = sorted(self.trees, reverse=True)
+        if logs:
+            tops = np.asarray(
+                jnp.concatenate([self.trees[cl].top_dev for cl in logs], axis=1)
+            )
+            off = 0
+            for cl in logs:
+                m = int(self.trees[cl].top_dev.shape[1])
+                self.trees[cl].finish_host(tops[:, off : off + m])
+                off += m
 
     def coeff_slice(self, start: int, count: int):
         """Stacked coefficient rows for columns [start, start+count), which

@@ -87,3 +87,16 @@ def test_blake2s_device_matches_hashlib_scan_path():
         axis=1,
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_hash_words_np_vec_matches_hashlib():
+    import numpy as np
+    from cairo_m_tpu.hash import blake2s
+
+    rng = np.random.default_rng(0)
+    for n_words in (2, 8, 16, 17, 33, 48):
+        cols = [rng.integers(0, 1 << 32, size=37, dtype=np.uint32)
+                for _ in range(n_words)]
+        got = np.stack(blake2s.hash_words_np_vec(cols), axis=1)
+        want = blake2s.hash_words_np(cols)
+        np.testing.assert_array_equal(got, want)
