@@ -123,6 +123,11 @@ class Analyzer:
                 raise SemanticError(s.line, f"duplicate struct {s.name}")
             self.structs[s.name] = None  # placeholder for recursive refs
         for s in self.module.structs:
+            seen_fields = set()
+            for n, _ in s.fields:
+                if n in seen_fields:
+                    raise SemanticError(s.line, f"duplicate field {n} in struct {s.name}")
+                seen_fields.add(n)
             self.structs[s.name] = Type(
                 "struct",
                 name=s.name,
@@ -133,6 +138,8 @@ class Analyzer:
         for f in self.module.functions:
             if f.name in self.functions:
                 raise SemanticError(f.line, f"duplicate function {f.name}")
+            if len({p.name for p in f.params}) != len(f.params):
+                raise SemanticError(f.line, f"duplicate parameter name in {f.name}")
             params = [(p.name, self.resolve(p.ty, f.line)) for p in f.params]
             ret = self.resolve(f.ret, f.line) if f.ret else UNIT
             self.functions[f.name] = FuncSig(f.name, params, ret)
@@ -151,6 +158,13 @@ class Analyzer:
                     raise SemanticError(s.line, f"duplicate struct {s.name}")
                 self.structs[s.name] = None
             for s in self.module.structs:
+                seen_fields = set()
+                for n, _ in s.fields:
+                    if n in seen_fields:
+                        raise SemanticError(
+                            s.line, f"duplicate field {n} in struct {s.name}"
+                        )
+                    seen_fields.add(n)
                 self.structs[s.name] = Type(
                     "struct",
                     name=s.name,
@@ -163,6 +177,10 @@ class Analyzer:
             for f in self.module.functions:
                 if f.name in self.functions:
                     raise SemanticError(f.line, f"duplicate function {f.name}")
+                if len({p.name for p in f.params}) != len(f.params):
+                    raise SemanticError(
+                        f.line, f"duplicate parameter name in {f.name}"
+                    )
                 params = [
                     (p.name, self.resolve(p.ty, f.line)) for p in f.params
                 ]
@@ -178,9 +196,35 @@ class Analyzer:
             except SemanticError as e:
                 bag.error(e.line, e.msg)
                 ok = False
+                continue
+            ok &= self._lint_function(f, bag)
         if not ok:
             return None
         return TypedModule(self.module, self.structs, self.functions, self.consts)
+
+    # -- validator battery (reference semantic/src/validation/) ------------
+
+    def _lint_function(self, f: A.FunctionDef, bag) -> bool:
+        """control_flow + scope lints: missing return on a fallthrough path
+        (error), unreachable statements (warning), unused locals (warning).
+        Returns False when an ERROR was recorded."""
+        sig = self.functions[f.name]
+        ok = True
+        if sig.ret.kind != "unit" and not _always_returns(f.body):
+            bag.error(
+                f.line,
+                f"missing return: not all paths of {f.name} return a value",
+            )
+            ok = False
+        _warn_unreachable(f.body, bag)
+        used: set = set()
+        _collect_uses(f.body, used)
+        declared: list = []
+        _collect_lets(f.body, declared)
+        for name, line in declared:
+            if name not in used and not name.startswith("_"):
+                bag.warning(line, f"unused variable {name}")
+        return ok
 
     def resolve(self, te: A.TypeExpr, line) -> Type:
         k = te.kind
@@ -320,6 +364,8 @@ class Analyzer:
                 if e.value not in (0, 1):
                     raise SemanticError(e.line, "bool literal must be 0/1")
                 return BOOL
+            if not 0 <= e.value < P:
+                raise SemanticError(e.line, "felt literal out of range")
             return FELT
         if isinstance(e, A.BoolLit):
             return BOOL
@@ -377,9 +423,23 @@ class Analyzer:
             st = self.structs.get(e.name)
             if st is None:
                 raise SemanticError(e.line, f"unknown struct {e.name}")
+            names = [n for n, _ in e.fields]
+            if len(set(names)) != len(names):
+                raise SemanticError(
+                    e.line, f"duplicate field in {e.name} literal"
+                )
             given = dict(e.fields)
-            if set(given) != {n for n, _ in st.members}:
-                raise SemanticError(e.line, f"struct {e.name} field mismatch")
+            want = {n for n, _ in st.members}
+            if set(given) != want:
+                missing = sorted(want - set(given))
+                extra = sorted(set(given) - want)
+                detail = "; ".join(
+                    ([f"missing {', '.join(missing)}"] if missing else [])
+                    + ([f"unknown {', '.join(extra)}"] if extra else [])
+                )
+                raise SemanticError(
+                    e.line, f"struct {e.name} field mismatch: {detail}"
+                )
             for n, ft in st.members:
                 at = self.type_of(given[n], scope, expected=ft)
                 if not self._compatible(ft, at):
@@ -480,6 +540,109 @@ class Analyzer:
                 return BOOL
             raise SemanticError(e.line, f"bitwise op needs u32, got {lt} {op} {rt}")
         raise SemanticError(e.line, f"bad operator {op}")
+
+
+def _always_returns(stmts) -> bool:
+    """True when every control path through the block returns (reference
+    semantic/src/validation/control_flow.rs role)."""
+    for st in stmts:
+        if isinstance(st, A.Return):
+            return True
+        if isinstance(st, A.If):
+            if (
+                st.orelse
+                and _always_returns(st.then)
+                and _always_returns(st.orelse)
+            ):
+                return True
+        elif isinstance(st, A.Loop):
+            # `loop` without break only exits via return
+            if not _has_break(st.body):
+                return True
+    return False
+
+
+def _has_break(stmts) -> bool:
+    for st in stmts:
+        if isinstance(st, A.Break):
+            return True
+        if isinstance(st, A.If) and (
+            _has_break(st.then) or _has_break(st.orelse)
+        ):
+            return True
+        # breaks inside NESTED loops bind to those loops
+    return False
+
+
+def _terminates(st) -> bool:
+    if isinstance(st, (A.Return, A.Break, A.Continue)):
+        return True
+    if isinstance(st, A.If):
+        return bool(st.orelse) and all(
+            _block_terminates(b) for b in (st.then, st.orelse)
+        )
+    if isinstance(st, A.Loop):
+        return not _has_break(st.body)
+    return False
+
+
+def _block_terminates(stmts) -> bool:
+    return any(_terminates(st) for st in stmts)
+
+
+def _warn_unreachable(stmts, bag):
+    dead = False
+    for st in stmts:
+        if dead:
+            bag.warning(st.line, "unreachable statement")
+            dead = False  # one warning per dead region
+        if _terminates(st):
+            dead = True
+        for sub in _sub_blocks(st):
+            _warn_unreachable(sub, bag)
+
+
+def _sub_blocks(st):
+    if isinstance(st, A.If):
+        return [st.then, st.orelse]
+    if isinstance(st, (A.While, A.Loop)):
+        return [st.body]
+    if isinstance(st, A.For):
+        return [st.body]
+    return []
+
+
+def _collect_uses(node, out: set):
+    """Every Name identifier read anywhere below `node` (statements/exprs)."""
+    if isinstance(node, A.Name):
+        out.add(node.ident)
+    for f in getattr(node, "__dataclass_fields__", {}):
+        v = getattr(node, f)
+        if isinstance(v, (A.Expr, A.Stmt)):
+            _collect_uses(v, out)
+        elif isinstance(v, (list, tuple)):
+            for item in v:
+                if isinstance(item, (A.Expr, A.Stmt)):
+                    _collect_uses(item, out)
+                elif (
+                    isinstance(item, tuple)
+                    and len(item) == 2
+                    and isinstance(item[1], (A.Expr, A.Stmt))
+                ):
+                    _collect_uses(item[1], out)
+    if isinstance(node, list):
+        for item in node:
+            _collect_uses(item, out)
+
+
+def _collect_lets(stmts, out: list):
+    for st in stmts:
+        if isinstance(st, A.Let) and isinstance(st.pattern, str):
+            out.append((st.pattern, st.line))
+        for sub in _sub_blocks(st):
+            _collect_lets(sub, out)
+        if isinstance(st, A.For):
+            _collect_lets([st.init], out)
 
 
 def analyze(module: A.Module) -> TypedModule:

@@ -46,6 +46,9 @@ class Server:
             "textDocument/didClose": self.did_close,
             "textDocument/hover": self.hover,
             "textDocument/formatting": self.formatting,
+            "textDocument/definition": self.definition,
+            "textDocument/references": self.references,
+            "textDocument/documentSymbol": self.document_symbol,
         }.get(method)
         if fn is None:
             return None
@@ -57,6 +60,9 @@ class Server:
         return {
             "capabilities": {
                 "textDocumentSync": 1,  # full
+                "definitionProvider": True,
+                "referencesProvider": True,
+                "documentSymbolProvider": True,
                 "hoverProvider": True,
                 "documentFormattingProvider": True,
             },
@@ -146,6 +152,106 @@ class Server:
         if word in tm.consts:
             return _hover_md(f"const {word} = {tm.consts[word]}")
         return None
+
+    # -- navigation (text-scan symbol model; positions are line/word based
+    # because the AST records lines only — reference cairo-m-ls keeps a
+    # full salsa span model, this covers the goto-def/references surface) --
+
+    def _symbols(self, text: str):
+        """[(kind, name, line, col)] for fn/struct/const definitions."""
+        import re
+
+        out = []
+        for ln, line_text in enumerate(text.splitlines()):
+            for kind, pat in (
+                ("function", r"^\s*fn\s+([A-Za-z_]\w*)"),
+                ("struct", r"^\s*struct\s+([A-Za-z_]\w*)"),
+                ("constant", r"^\s*const\s+([A-Za-z_]\w*)"),
+            ):
+                m = re.match(pat, line_text)
+                if m:
+                    out.append((kind, m.group(1), ln, m.start(1)))
+        return out
+
+    def _local_def(self, text: str, word: str, use_line: int):
+        """Line/col of the nearest `let word` / param `word` at or above
+        the use, within the enclosing function."""
+        import re
+
+        lines = text.splitlines()
+        # find the enclosing function start
+        fn_start = 0
+        for ln in range(min(use_line, len(lines) - 1), -1, -1):
+            if re.match(r"^\s*fn\s", lines[ln]):
+                fn_start = ln
+                break
+        let_pat = re.compile(
+            r"\b(?:let|for\s*\(\s*let)\s+(" + re.escape(word) + r")\b"
+        )
+        for ln in range(min(use_line, len(lines) - 1), fn_start - 1, -1):
+            m = let_pat.search(lines[ln])
+            if m:
+                return ln, m.start(1)
+        # parameter on the fn line
+        m = re.search(r"\b(" + re.escape(word) + r")\s*:", lines[fn_start])
+        if m:
+            return fn_start, m.start(1)
+        return None
+
+    def definition(self, params):
+        uri = params["textDocument"]["uri"]
+        text = self.docs.get(uri, "")
+        word = _word_at(
+            text, params["position"]["line"], params["position"]["character"]
+        )
+        if not word:
+            return None
+        for kind, name, ln, col in self._symbols(text):
+            if name == word:
+                return {
+                    "uri": uri,
+                    "range": _rng(ln, col, ln, col + len(word)),
+                }
+        loc = self._local_def(text, word, params["position"]["line"])
+        if loc is not None:
+            ln, col = loc
+            return {"uri": uri, "range": _rng(ln, col, ln, col + len(word))}
+        return None
+
+    def references(self, params):
+        import re
+
+        uri = params["textDocument"]["uri"]
+        text = self.docs.get(uri, "")
+        word = _word_at(
+            text, params["position"]["line"], params["position"]["character"]
+        )
+        if not word:
+            return []
+        pat = re.compile(r"\b" + re.escape(word) + r"\b")
+        out = []
+        for ln, line_text in enumerate(text.splitlines()):
+            for m in pat.finditer(line_text):
+                out.append(
+                    {"uri": uri, "range": _rng(ln, m.start(), ln, m.end())}
+                )
+        return out
+
+    def document_symbol(self, params):
+        KIND = {"function": 12, "struct": 23, "constant": 14}
+        uri = params["textDocument"]["uri"]
+        text = self.docs.get(uri, "")
+        return [
+            {
+                "name": name,
+                "kind": KIND[kind],
+                "location": {
+                    "uri": uri,
+                    "range": _rng(ln, col, ln, col + len(name)),
+                },
+            }
+            for kind, name, ln, col in self._symbols(text)
+        ]
 
     # -- formatting --
 

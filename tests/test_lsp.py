@@ -86,3 +86,45 @@ def test_shutdown_flag():
     s = Server()
     s.handle("shutdown", {})
     assert s.shutdown_requested
+
+
+def test_goto_definition_and_references():
+    from cairo_m_tpu.lsp import Server
+
+    src = """const K = 7;
+struct Point { x: felt, y: felt }
+fn helper(v: felt) -> felt {
+    let doubled = v * 2;
+    return doubled + K;
+}
+fn main() -> felt {
+    let p = Point { x: 1, y: 2 };
+    return helper(p.x);
+}
+"""
+    s = Server()
+    s.handle("initialize", {})
+    s.handle(
+        "textDocument/didOpen",
+        {"textDocument": {"uri": "u", "text": src, "version": 1}},
+    )
+    def pos(line, ch):
+        return {"textDocument": {"uri": "u"}, "position": {"line": line, "character": ch}}
+    # goto-def on `helper(` call -> fn helper line 2
+    d = s.handle("textDocument/definition", pos(8, 12))
+    assert d["range"]["start"]["line"] == 2
+    # goto-def on Point literal -> struct line 1
+    d = s.handle("textDocument/definition", pos(7, 13))
+    assert d["range"]["start"]["line"] == 1
+    # goto-def on local `doubled` use -> its let line 3
+    d = s.handle("textDocument/definition", pos(4, 12))
+    assert d["range"]["start"]["line"] == 3
+    # goto-def on param v use -> fn line param position
+    d = s.handle("textDocument/definition", pos(3, 18))
+    assert d["range"]["start"]["line"] == 2
+    # references of K: const def + use
+    refs = s.handle("textDocument/references", pos(0, 6))
+    assert len(refs) == 2
+    # document symbols
+    syms = s.handle("textDocument/documentSymbol", {"textDocument": {"uri": "u"}})
+    assert {x["name"] for x in syms} == {"K", "Point", "helper", "main"}
