@@ -564,6 +564,13 @@ def run_wide(stacks, src, sh, const_vals, plan: WidePlan, elog: int,
         cat = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
         rows = jnp.take(cat, jnp.asarray(perm), axis=0)
     rows = _prep_bank(elog, fft_order, tuple(int(x) % n for x in sh), Bb)(rows)
+    from . import wtape_pallas
+    from ...parallel.sharded import active_mesh
+
+    if active_mesh() is None and wtape_pallas.supported(plan, elog):
+        # VMEM-resident register file (see wtape_pallas.py) — the scan
+        # interpreter below streams the file through HBM per step
+        return wtape_pallas.run_plan(rows, const_vals, plan, elog)
     S = plan.n_steps
     Sb = _bucket(S, 16)
     n_out = len(plan.out_regs)
