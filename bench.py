@@ -12,15 +12,19 @@ Workload: N = 100,000 iterations (BENCH_FIB_ITERS overrides) — the
 reference's own prover bench config (`crates/prover/benches/
 prover_speed_benchmark.rs:16-72`, N_ITERATIONS = 100_000).
 
-Robustness against the harness timeout (the axon TPU tunnel charges a
-one-time device-claim handshake on the FIRST device-to-host transfer of
-each process — measured 490-711 s; ~0.03 s per pull afterwards):
+Robustness (the round-4 bench died with a TPU FailedPrecondition on the
+first device transfer and emitted nothing — VERDICT r4 weak #2):
 
-- a daemon thread fires a tiny D2H at t=0 so the claim overlaps the host
-  work (compile, VM run, adapter, jit warmup);
-- SIGTERM/SIGINT write the best measurement recorded so far as the JSON
-  line (os.write: async-signal-safe, no buffered-print reentrancy) and
-  exit; the exit code is non-zero if no prove ever completed, so a timeout
+- the JSON line is emitted on EVERY exit path: normal completion, SIGTERM/
+  SIGINT (os.write: async-signal-safe), and any exception (the error is
+  recorded in detail.error and the best measurement so far is kept);
+- device-claim / TPU-backend failures (JaxRuntimeError) retry with backoff
+  (3 attempts, 20 s apart) before giving up — the axon tunnel's claim
+  handshake historically took 1-700 s and occasionally failed outright;
+- a daemon thread fires a tiny D2H at t=0 so any claim stall overlaps the
+  host work (compile, VM run, adapter, jit warmup); its failure is
+  recorded, never fatal;
+- the exit code is non-zero only if no prove ever completed, so a crash
   before the first measurement cannot be parsed as a valid 0 cycles/s.
 
 vs_baseline: the reference publishes no absolute numbers and cannot run
@@ -39,12 +43,15 @@ import signal
 import sys
 import threading
 import time
+import traceback
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 N_ITERS = int(os.environ.get("BENCH_FIB_ITERS", "100000"))
 BASELINE_CYCLES_PER_SEC = 1e6
+CLAIM_RETRIES = 3
+CLAIM_BACKOFF_S = 20.0
 
 _state = {
     "metric": "fibonacci_cycles_proved_per_sec",
@@ -55,6 +62,7 @@ _state = {
 }
 _claim_s = [None]  # filled by the claim thread; merged by _snapshot
 _measured = threading.Event()  # set once any prove completed
+_emitted = threading.Event()  # ONE-line contract across all exit paths
 
 
 def _snapshot() -> dict:
@@ -65,9 +73,16 @@ def _snapshot() -> dict:
     return s
 
 
-def _emit_and_exit(signum=None, frame=None):
+def _emit_line():
+    if _emitted.is_set():
+        return
+    _emitted.set()
     # async-signal-safe: bytes straight to fd 1, no buffered print
     os.write(1, (json.dumps(_snapshot()) + "\n").encode())
+
+
+def _emit_and_exit(signum=None, frame=None):
+    _emit_line()
     # non-zero when no prove finished: a timeout this early is a failure,
     # not a 0.0-throughput datapoint
     os._exit(0 if _measured.is_set() else 75)
@@ -82,10 +97,29 @@ def _record(value, n_cycles, prove_s, stage, **extra):
     _measured.set()
 
 
-def main():
-    signal.signal(signal.SIGTERM, _emit_and_exit)
-    signal.signal(signal.SIGINT, _emit_and_exit)
+def _is_backend_error(e) -> bool:
+    name = type(e).__name__
+    return "JaxRuntimeError" in name or "XlaRuntimeError" in name
 
+
+def _prove_with_retry(prove, pi, config, timing):
+    """Retry TPU-backend failures with backoff; re-raise anything else."""
+    last = None
+    for attempt in range(CLAIM_RETRIES):
+        try:
+            return prove(pi, config, timing=timing)
+        except Exception as e:  # noqa: BLE001 — classified below
+            if not _is_backend_error(e):
+                raise
+            last = e
+            _state["detail"]["backend_error"] = repr(e)[:300]
+            _state["detail"]["backend_retries"] = attempt + 1
+            if attempt + 1 < CLAIM_RETRIES:
+                time.sleep(CLAIM_BACKOFF_S * (attempt + 1))
+    raise last
+
+
+def _run():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
@@ -95,11 +129,14 @@ def main():
     t_start = time.time()
 
     def _claim():
-        import numpy as _np
-        import jax.numpy as _jnp
+        try:
+            import numpy as _np
+            import jax.numpy as _jnp
 
-        _np.asarray(_jnp.zeros(8, _jnp.uint32))
-        _claim_s[0] = round(time.time() - t_start, 1)
+            _np.asarray(_jnp.zeros(8, _jnp.uint32))
+            _claim_s[0] = round(time.time() - t_start, 1)
+        except Exception as e:  # noqa: BLE001 — recorded, never fatal
+            _state["detail"]["claim_thread_error"] = repr(e)[:300]
 
     threading.Thread(target=_claim, daemon=True).start()
 
@@ -131,10 +168,10 @@ fn main(n: felt) -> felt {
     _state["detail"]["stage"] = "adapter_done"
 
     # warm-up prove (compiles all kernels for this shape set; its wall time
-    # also absorbs the device-claim stall)
+    # also absorbs any device-claim stall)
     timing = {}
     t1 = time.time()
-    prove_cairo_m(pi, REGULAR_96_BITS, timing=timing)
+    _prove_with_retry(prove_cairo_m, pi, REGULAR_96_BITS, timing)
     warm_s = time.time() - t1
     _record(n_cycles / warm_s, n_cycles, warm_s, "warm_prove_done",
             note="warm-run rate (includes jit compiles + device claim)")
@@ -142,7 +179,7 @@ fn main(n: felt) -> felt {
     # timed prove
     timing = {}
     t1 = time.time()
-    proof = prove_cairo_m(pi, REGULAR_96_BITS, timing=timing)
+    proof = _prove_with_retry(prove_cairo_m, pi, REGULAR_96_BITS, timing)
     prove_s = time.time() - t1
     value = n_cycles / prove_s
     _record(value, n_cycles, prove_s, "timed_prove_done",
@@ -154,11 +191,24 @@ fn main(n: felt) -> felt {
     ok = verify_cairo_m(proof, REGULAR_96_BITS)
     _state["detail"]["verified"] = bool(ok)
     _state["detail"]["stage"] = "done"
+
+
+def main():
+    signal.signal(signal.SIGTERM, _emit_and_exit)
+    signal.signal(signal.SIGINT, _emit_and_exit)
+    rc = 0
+    try:
+        _run()
+    except BaseException as e:  # noqa: BLE001 — emit the line on ANY exit
+        _state["detail"]["error"] = repr(e)[:500]
+        _state["detail"]["traceback"] = traceback.format_exc(limit=8)[-1500:]
+        rc = 0 if _measured.is_set() else 1
     # disarm the handlers before the normal print so the JSON line can't be
     # emitted twice (ONE-line contract)
     signal.signal(signal.SIGTERM, signal.SIG_IGN)
     signal.signal(signal.SIGINT, signal.SIG_IGN)
-    print(json.dumps(_snapshot()), flush=True)
+    _emit_line()
+    sys.exit(rc)
 
 
 if __name__ == "__main__":

@@ -84,7 +84,8 @@ def _worker_main(argv):
         if k % args.num_procs != args.proc_id:
             continue
         proof = prove_cairo_m(pi, cfg)
-        assert verify_cairo_m(proof, cfg)
+        if not verify_cairo_m(proof, cfg):
+            raise RuntimeError(f"segment {k}: proof failed verification")
         out.append(
             {
                 "segment": k,
@@ -120,7 +121,13 @@ def prove_segments_multiprocess(
     continuation segments across them, collect the proofs, assert the
     Poseidon2 root chain, and return the ordered per-segment records."""
     workdir = tempfile.mkdtemp(prefix="cm_segments_")
-    port = 23517 + (os.getpid() % 1000)
+    # bind an ephemeral port for the coordinator: pid-derived ports collide
+    # across concurrent jobs / pid reuse (ADVICE r4 #5)
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     with open(os.path.join(workdir, "job.json"), "w") as f:
         json.dump(
             {
@@ -160,9 +167,19 @@ def prove_segments_multiprocess(
     for i in range(n_processes):
         records += json.load(open(os.path.join(workdir, f"proofs_{i}.json")))
     records.sort(key=lambda r: r["segment"])
-    assert [r["segment"] for r in records] == list(range(len(records)))
+    # explicit raises, not asserts: these are the chain-integrity contract
+    # and must survive `python -O` (ADVICE r4 #5)
+    if [r["segment"] for r in records] != list(range(len(records))):
+        raise RuntimeError(
+            "segment set incomplete or duplicated: "
+            f"{[r['segment'] for r in records]}"
+        )
     for a, b in zip(records, records[1:]):
-        assert a["final_root"] == b["initial_root"], "segment root chain broken"
+        if a["final_root"] != b["initial_root"]:
+            raise RuntimeError(
+                f"segment root chain broken between {a['segment']} and "
+                f"{b['segment']}"
+            )
     return records
 
 

@@ -186,7 +186,19 @@ def prove_cairo_m(prover_input, config=REGULAR_96_BITS, timing=None):
     from .config import SCALE
     from ..parallel.sharded import active_mesh
 
-    pre_key = (SCALE.key(), config.fri_config.log_blowup_factor, id(active_mesh()))
+    # stable mesh descriptor, not id(): a GC'd mesh's address can be reused
+    # by a new mesh whose sharding differs (ADVICE r4 #2)
+    mesh = active_mesh()
+    mesh_key = (
+        None
+        if mesh is None
+        else (
+            tuple(d.id for d in mesh.devices.flat),
+            mesh.devices.shape,
+            mesh.axis_names,
+        )
+    )
+    pre_key = (SCALE.key(), config.fri_config.log_blowup_factor, mesh_key)
     cached = _PRE_PHASE_CACHE.get(pre_key)
     if cached is None:
         cached = pcs.CommitmentPhase(

@@ -71,15 +71,21 @@ def _pad_lead(v):
     for some non-multiple-of-8 k — observed at (12, 2^19) and (13, 2^19):
     the LAST batch column comes back corrupted (zeros), while 8/16/48 are
     fine (bisected on hardware; the corrupt commitment surfaced as a
-    CPU-vs-TPU proof byte diff).  Returns (padded, original_k or None)."""
-    if v.ndim < 2:
-        return v[None], 0
+    CPU-vs-TPU proof byte diff).  EVERY input takes the pad (1-D promoted to
+    k=1 first) — the bug was bisected at k=12/13 but never ruled out for
+    other non-multiple-of-8 k (ADVICE r4 #1) — and >=3-D batches fail loudly
+    instead of passing through unguarded.  Returns (padded, original_k; 0
+    means the input was 1-D)."""
+    assert v.ndim <= 2, "two-stage FFT path expects (n,) or (k, n) inputs"
+    orig_k = 0 if v.ndim == 1 else v.shape[0]
+    if v.ndim == 1:
+        v = v[None]
     k = v.shape[0]
-    if v.ndim == 2 and k % 8:
+    if k % 8:
         kp = (k + 7) // 8 * 8
         pad = jnp.zeros((kp - k,) + v.shape[1:], v.dtype)
-        return jnp.concatenate([v, pad], axis=0), k
-    return v, None
+        v = jnp.concatenate([v, pad], axis=0)
+    return v, orig_k
 
 
 def ifft(values, log_size: int, itw=None):
@@ -132,10 +138,7 @@ def ifft(values, log_size: int, itw=None):
         f1 = m31.mul(m31.sub(a, b), itw[j].reshape(half, 1))
         v = jnp.stack([f0, f1], axis=-3)
     v = jnp.swapaxes(v.reshape(lead + (n2, n1)), -1, -2).reshape(lead + (n,))
-    if orig_k == 0:
-        v = v[0]
-    elif orig_k is not None:
-        v = v[:orig_k]
+    v = v[0] if orig_k == 0 else v[:orig_k]
     scale = pow((P + 1) // 2, log_size, P)  # 2^-log_size
     return m31.mul(v, jnp.uint32(scale))
 
@@ -180,11 +183,7 @@ def fft(coeffs, log_size: int, tw=None):
         b = m31.mul(v[..., 1, :, :], tw[j].reshape(rows, n2))
         v = jnp.stack([m31.add(a, b), m31.sub(a, b)], axis=-3)
     v = v.reshape(lead + (n,))
-    if orig_k == 0:
-        return v[0]
-    if orig_k is not None:
-        return v[:orig_k]
-    return v
+    return v[0] if orig_k == 0 else v[:orig_k]
 
 
 def lde(values_fft_order, log_size: int, eval_log_size: int):

@@ -172,15 +172,18 @@ class CommitmentPhase:
         return [(cl, self.trees[cl].root()) for cl in sorted(self.trees, reverse=True)]
 
     def mix_roots(self, channel):
-        """Mix all tree roots largest-first — ONE device->host pull (none
-        at all when roots were already pulled, e.g. a cached phase)."""
+        """Mix all tree roots largest-first.  Every tree's root is already
+        host-side: __init__ batch-pulls the deferred tops and finish_host()es
+        each, so a tree reaching here with _root unset is a bug (the old
+        root_dev fallback read an attribute that is always None now —
+        ADVICE r4 #3)."""
         logs = sorted(self.trees, reverse=True)
-        if logs and any(self.trees[cl]._root is None for cl in logs):
-            words = np.asarray(
-                jnp.stack([self.trees[cl].root_dev for cl in logs])
-            )
-            for i, cl in enumerate(logs):
-                self.trees[cl].set_root_words(words[i])
+        for cl in logs:
+            t = self.trees[cl]
+            if t._root is None:
+                # defer_top tree whose finish_host was skipped: complete it
+                # from its device top rather than crash on a None stack
+                t.finish_host(np.asarray(t.top_dev))
         for _, r in self.roots():
             channel.mix_root(r)
 

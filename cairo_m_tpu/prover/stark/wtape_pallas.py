@@ -71,6 +71,11 @@ def _kernel(B: int, S: int, W: int, R: int, C: int, n_out: int, tile: int):
 
     def kernel(base_ref, ia_ref, ib_ref, dst_ref, out_regs_ref, consts_ref,
                rows_ref, out_ref, file_ref):
+        # zero the register rows: VMEM scratch is uninitialized on real
+        # TPUs (the interpret path zero-fills, masking any plan that reads
+        # a register before writing it — ADVICE r4 #4)
+        if R:
+            file_ref[pl.ds(0, R), :] = jnp.zeros((R, tile), jnp.uint32)
         # bank rows -> file[R : R+B]
         file_ref[pl.ds(R, B), :] = rows_ref[:, :]
         # const rows -> file[R+B : R+B+C]  (broadcast scalars)
