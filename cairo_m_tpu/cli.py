@@ -62,15 +62,17 @@ def cmd_run(args):
     for v in res.return_values:
         print(v.flatten())
     if args.trace_output:
-        seg0 = res.vm.segments[0]
-        for i, seg in enumerate(res.vm.segments):
-            base = args.trace_output.rsplit(".", 1)
-            stem = base[0]
-            ext = base[1] if len(base) > 1 else "bin"
-            with open(f"{stem}_segment_{i}.{ext}", "wb") as f:
-                f.write(seg.serialize_trace())
-            with open(f"{stem}_segment_{i}.mem.{ext}", "wb") as f:
-                f.write(seg.serialize_memory_trace())
+        import os
+
+        from .vm import trace_io
+
+        base, ext = os.path.splitext(args.trace_output)
+        segs = res.vm.segments
+        trace_io.write_binary_trace(segs, args.trace_output)
+        trace_io.write_binary_memory_trace(
+            segs, res.vm.program_length, f"{base}_mem{ext}"
+        )
+        trace_io.write_initial_memory(segs, f"{base}_initmem{ext}")
     return 0
 
 
@@ -85,12 +87,38 @@ def cmd_prove(args):
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     program = _load_program(args.program)
-    res = run_cairo_program(
-        program,
-        args.entrypoint,
-        _parse_args_list(args.arguments),
-        RunnerOptions(max_steps=args.max_steps),
-    )
+    if getattr(args, "from_trace", None):
+        # prove from exported binary trace files (run --trace-output);
+        # public address ranges are recomputed from the program ABI exactly
+        # as the runner does (vm/runner.py:194)
+        import os
+
+        from .isa.program import PublicAddressRanges
+        from .vm import trace_io
+
+        base, ext = os.path.splitext(args.from_trace)
+        segments = trace_io.segments_from_files(
+            args.from_trace, f"{base}_mem{ext}", f"{base}_initmem{ext}"
+        )
+        info = program.entrypoints[args.entrypoint]
+        M = sum(p.ty.call_slot_size() for p in info.params)
+        K = sum(r.ty.call_slot_size() for r in info.returns)
+        ranges = PublicAddressRanges.new(len(program.qm31_words()), M, K)
+
+        class _Res:
+            pass
+
+        res = _Res()
+        res.vm = _Res()
+        res.vm.segments = segments
+        res.public_address_ranges = ranges
+    else:
+        res = run_cairo_program(
+            program,
+            args.entrypoint,
+            _parse_args_list(args.arguments),
+            RunnerOptions(max_steps=args.max_steps),
+        )
     proofs = []
     for seg in res.vm.segments:
         pi = import_from_runner_output(seg, res.public_address_ranges)
@@ -237,6 +265,11 @@ def main(argv=None):
     p.add_argument("--max-steps", type=int, default=(1 << 20) - 1)
     p.add_argument("--output", "-o")
     p.add_argument("--verify", action="store_true")
+    p.add_argument(
+        "--from-trace",
+        help="prove from binary trace files written by `run --trace-output` "
+        "instead of re-running the VM",
+    )
     p.set_defaults(fn=cmd_prove)
 
     v = sub.add_parser("verify")

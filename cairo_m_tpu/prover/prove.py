@@ -35,6 +35,11 @@ P = (1 << 31) - 1
 
 # (scale key, blowup, mesh id) -> CommitmentPhase of the preprocessed tables
 _PRE_PHASE_CACHE: dict = {}
+# (comp name, scale key, mesh key) -> row-order device stack of the
+# component's preprocessed columns (rc enumerations, bitwise tables): fixed
+# per protocol scale, so uploading them per prove wasted ~4 MB of H2D (the
+# rc20 enumeration) on a ~25 MB/s accelerator tunnel
+_PRE_STACK_CACHE: dict = {}
 
 
 @dataclass
@@ -219,11 +224,18 @@ def prove_cairo_m(prover_input, config=REGULAR_96_BITS, timing=None):
 
     # zero-witness components (all rows padding) upload nothing: their
     # trace stacks are device-side zero fills, and fft order of zeros is
-    # zeros — no per-component H2D transfer or gather dispatch.
+    # zeros — no per-component H2D transfer or gather dispatch.  Non-zero
+    # components upload column-PACKED planes (stark/colpack.py): the
+    # tunnel's ~25 MB/s H2D made raw uint32 column uploads the dominant
+    # trace-phase cost.
+    from .stark import colpack
+
     trace_stacks = [
         jnp.zeros((comp.n_trace_cols, 1 << comp.log_size), jnp.uint32)
         if comp.zero_witness
-        else maybe_shard(jnp.asarray(np.stack(comp.trace_rows)))
+        else maybe_shard(
+            colpack.upload_stack(comp.trace_rows, comp.non_padded_length)
+        )
         for comp in comps.all
     ]
     scheme.commit(
@@ -257,12 +269,17 @@ def prove_cairo_m(prover_input, config=REGULAR_96_BITS, timing=None):
             zero_claims.add(ci)
             inter_entries.append((comp.log_size, stacked))
             continue
-        pp = comp.preprocessed_columns() if comp.n_preprocessed_cols else ()
-        pre_stack = (
-            maybe_shard(jnp.asarray(np.stack(pp)))
-            if pp
-            else jnp.zeros((0, n), jnp.uint32)
-        )
+        if comp.n_preprocessed_cols:
+            ps_key = (comp.name, SCALE.key(), mesh_key)
+            pre_stack = _PRE_STACK_CACHE.get(ps_key)
+            if pre_stack is None:
+                if len(_PRE_STACK_CACHE) > 64:
+                    _PRE_STACK_CACHE.clear()
+                pp = comp.preprocessed_columns()
+                pre_stack = maybe_shard(jnp.asarray(np.stack(pp)))
+                _PRE_STACK_CACHE[ps_key] = pre_stack
+        else:
+            pre_stack = jnp.zeros((0, n), jnp.uint32)
         stacked, claimed = framework.gen_interaction_trace_device(
             comp, st, pre_stack
         )

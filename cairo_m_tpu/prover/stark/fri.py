@@ -127,8 +127,14 @@ def _combine(cols, weight):
 
 
 def _fold_pairs_dev(col, inv_twiddle, alpha):
-    a = tuple(c[0::2] for c in col)
-    b = tuple(c[1::2] for c in col)
+    """Fold an FFT-order (natural) layer: pairs are the CONTIGUOUS halves
+    (u, u + n/2) — commit-order index 2t,2t+1 maps to natural u, u + n/2
+    with u = rev(t), so the natural fold result IS the natural order of the
+    next layer.  Half-slicing measured ~7x faster than the stride-2
+    commit-order fold on TPU (lane-shuffle relayouts)."""
+    half = int(col[0].shape[-1]) // 2
+    a = tuple(c[..., :half] for c in col)
+    b = tuple(c[..., half:] for c in col)
     f0 = qmul_m31(qadd(a, b), jnp.uint32(INV2))
     diff = tuple(m31.sub(x, y) for x, y in zip(a, b))
     f1 = qmul_m31(qmul_m31(diff, inv_twiddle), jnp.uint32(INV2))
@@ -151,9 +157,23 @@ def _q4(v):
 
 @_lru_cache(maxsize=None)
 def _fri_tw_dev(log_size: int, j: int):
-    """Device-resident copy of `domain.fri_twiddles_bitrev(log_size)[j]` —
-    uploaded once per process instead of per prove (32 MB at max_log 24)."""
-    return jnp.asarray(domain.fri_twiddles_bitrev(log_size)[j])
+    """Device-resident NATURAL-order (FFT-order) inverse fold twiddles:
+    level j of `domain.fft_twiddles(log_size)` inverses — the natural-order
+    counterpart of `fri_twiddles_bitrev` (which the host-side verifier
+    keeps using, since it indexes by commit position).  Uploaded once per
+    process (32 MB at max_log 24)."""
+    return jnp.asarray(domain.fft_twiddles(log_size)[1][j])
+
+
+def _fri_tw_nat_np(log_size: int, j: int):
+    """Host natural-order inverse fold twiddles (FRI tail layers)."""
+    return domain.fft_twiddles(log_size)[1][j]
+
+
+@_lru_cache(maxsize=None)
+def _bitrev_jit(log_size: int):
+    """Jitted natural -> commit-order permutation for layer commits."""
+    return _jax.jit(lambda v: domain.bit_reverse(v, log_size))
 
 
 @_lru_cache(maxsize=None)
@@ -204,11 +224,13 @@ _FRI_HOST_LOG = 11
 
 
 def _fold_pairs_np(col4, inv_tw, alpha):
-    """Host vectorized fold: col4 tuple of 4 (n,) uint32; -> 4 x (n/2,)."""
+    """Host vectorized fold of a NATURAL-order layer (contiguous halves,
+    matching `_fold_pairs_dev`): col4 tuple of 4 (n,) uint32 -> 4 x (n/2,)."""
     from ...field import m31 as m31f
 
-    a = tuple(c[0::2] for c in col4)
-    b = tuple(c[1::2] for c in col4)
+    half = col4[0].shape[-1] // 2
+    a = tuple(c[:half] for c in col4)
+    b = tuple(c[half:] for c in col4)
     f0 = tuple(m31f.mul_np(m31f.add_np(x, y), np.uint32(INV2)) for x, y in zip(a, b))
     diff = tuple(m31f.sub_np(x, y) for x, y in zip(a, b))
     f1 = tuple(
@@ -281,8 +303,11 @@ class FriProof:
 
 class FriProver:
     def __init__(self, channel, columns, config: FriConfig):
-        """columns: list of (circle_log_size, qm31 limb-tuple, commit order),
-        any order; sorted internally descending."""
+        """columns: list of (circle_log_size, qm31 limb-tuple, FFT/natural
+        order), any order; sorted internally descending.  All folding runs
+        in natural order (contiguous-half pairs); every committed layer and
+        the last layer are bit-reversed into commit order, so the emitted
+        proof bytes are identical to a commit-order prover."""
         self.config = config
         by_log: dict[int, list] = {}
         for l, c in columns:
@@ -291,6 +316,18 @@ class FriProver:
         self.max_log = self.column_order[0]
         last = config.log_last_layer_size
         assert last < self.max_log
+
+        import os as _osf
+        import time as _tf
+
+        _micro_on = bool(_osf.environ.get("CM_DEBUG_MICRO"))
+        _tm = _tf.time()
+
+        def _mic(msg):
+            nonlocal _tm
+            if _micro_on:
+                print(f"    [fri +{_tf.time()-_tm:6.3f}s] {msg}", flush=True)
+            _tm = _tf.time()
 
         self.inner_trees = []  # list of (log_k, MerkleTree)
         alpha0 = channel.draw_felt()
@@ -302,29 +339,32 @@ class FriProver:
         layer = _first_fold_jit(int(top.shape[0]), self.max_log)(
             top, y_inv, _q4(a0sq), _q4(alpha0)
         )  # (4, n/2)
+        _mic(f"first fold {int(top.shape[0])} cols @ {self.max_log}")
         k = self.max_log - 1
         on_host = False
         while k > last:
             if not on_host and k <= _FRI_HOST_LOG:
                 layer = np.asarray(layer)  # ONE pull; tail runs on host
                 on_host = True
+            # layers live in NATURAL (fft) order; each commit bit-reverses
+            # its own copy so the committed bytes stay protocol-identical
             if on_host:
-                tree = merkle.commit(np.asarray(layer))  # host pyramid
+                tree = merkle.commit(
+                    domain.bit_reverse(np.asarray(layer), k)
+                )  # host pyramid
             else:
-                tree = merkle.commit(layer)
+                tree = merkle.commit(_bitrev_jit(k)(layer))
             self.inner_trees.append((k, tree))
             channel.mix_root(tree.root())
             alpha = channel.draw_felt()
             fold_in = by_log.get(k)  # columns entering at the NEXT size
             if on_host:
-                x_inv_np = domain.fri_twiddles_bitrev(self.max_log)[
-                    self.max_log - k
-                ]
+                x_inv_np = _fri_tw_nat_np(self.max_log, self.max_log - k)
                 l4 = tuple(np.asarray(layer[j]) for j in range(4))
                 folded = _fold_pairs_np(l4, x_inv_np, alpha)
                 if fold_in:
                     asq = qscalar_mul(alpha, alpha)
-                    y_inv_np = domain.fri_twiddles_bitrev(k)[0]
+                    y_inv_np = _fri_tw_nat_np(k, 0)
                     # one pull for all entering columns (vs 4 per column)
                     pulled = (
                         fold_in
@@ -359,9 +399,11 @@ class FriProver:
                     )
                 else:
                     layer = _fold_line_jit(k, 0)(layer, x_inv, _q4(alpha))
+            _mic(f"layer k={k} host={on_host}")
             k -= 1
 
-        host = np.asarray(layer)
+        # last layer is sent in commit order (the verifier's convention)
+        host = domain.bit_reverse(np.asarray(layer), last)
         self.last_layer = [
             tuple(int(host[j][i]) for j in range(4))
             for i in range(host.shape[1])

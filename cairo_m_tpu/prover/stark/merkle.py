@@ -53,6 +53,29 @@ def _hash_inner(digests):
     return jnp.stack(blake2s.hash_words(msg))
 
 
+@jax.jit
+def _inner_msg(digests):
+    """(8, m) level -> (16, m/2) inner-node messages: words 0-7 = left
+    (even-lane) digests, 8-15 = right (odd) — the layout `_hash_inner`
+    hashes.  Produced by XLA strided slices so the hash itself can run in
+    the Pallas leaf kernel (a 16-word message IS a leaf message: one
+    64-byte block, identical framing)."""
+    m = digests.reshape(8, -1, 2)
+    return jnp.concatenate([m[:, :, 0], m[:, :, 1]], axis=0)
+
+
+def _hash_inner_fast(digests):
+    """One inner level; Pallas-accelerated when supported (the jnp
+    `_hash_inner` path measured 4-12x slower — it was the dominant commit
+    cost once leaves moved to Pallas)."""
+    from ...hash import blake2s_pallas
+
+    half = int(digests.shape[1]) // 2
+    if blake2s_pallas.supported(16, half):
+        return blake2s_pallas.hash_leaves(_inner_msg(digests))
+    return _hash_inner(digests)
+
+
 # Pyramid levels at or below this node count finish on the HOST: each inner
 # level is one device dispatch + (for the root) one device->host pull, and at
 # small sizes dispatch latency over the accelerator tunnel dwarfs the hash
@@ -143,7 +166,7 @@ class MerkleTree:
             digests = _hash_leaf(hashed)
         self.levels = [digests]  # (8, m) per level
         while int(digests.shape[1]) > (1 << _HOST_TOP_LOG):
-            digests = _hash_inner(digests)
+            digests = _hash_inner_fast(digests)
             self.levels.append(digests)
         self.top_dev = digests  # (8, m), m <= 2^_HOST_TOP_LOG
         self.root_dev = None

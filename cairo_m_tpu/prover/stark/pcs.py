@@ -20,6 +20,8 @@ folds, the last-layer degree, and the PoW.
 
 from __future__ import annotations
 
+import os as _os
+import time as _time
 from dataclasses import dataclass, field
 from functools import lru_cache
 
@@ -28,6 +30,17 @@ import jax
 import jax.numpy as jnp
 
 from . import domain, fft, fri, merkle, quotients
+
+# CM_DEBUG_MICRO: per-piece wall times with device sync (block_until_ready)
+# after each stage — attribution only; the syncs serialize the pipeline, so
+# totals under this flag exceed production wall time.
+_MICRO = bool(_os.environ.get("CM_DEBUG_MICRO"))
+
+
+def _micro(t0, msg):
+    if _MICRO:
+        print(f"    [micro +{_time.time()-t0:6.3f}s] {msg}", flush=True)
+    return _time.time()
 
 
 @lru_cache(maxsize=None)
@@ -130,6 +143,7 @@ class CommitmentPhase:
         self.stacked_ext = {}  # commit_log -> (k, 2n) device, FFT order
         self.stacked_commit = {}  # commit_log -> (k, 2n) device, commit order
         self.trees = {}
+        tm = _time.time()
         for l in sorted(groups, reverse=True):
             cl = l + log_blowup
             pieces = groups[l]
@@ -139,10 +153,18 @@ class CommitmentPhase:
                 else jnp.concatenate(pieces, axis=0)
             )
             coeffs, ext_cols, commit_cols = _commit_pipeline(l, cl)(stacked)
+            if _MICRO:
+                jax.block_until_ready(commit_cols)
+                tm = _micro(
+                    tm, f"fft k={int(stacked.shape[0])} log={l}->{cl}"
+                )
             self.stacked_coeffs[l] = coeffs
             self.stacked_ext[cl] = ext_cols
             self.stacked_commit[cl] = commit_cols
             self.trees[cl] = merkle.MerkleTree(commit_cols, defer_top=True)
+            if _MICRO:
+                jax.block_until_ready(self.trees[cl].top_dev)
+                tm = _micro(tm, f"merkle k={int(stacked.shape[0])} cl={cl}")
         # ONE device->host pull for every tree's top level, then the host
         # pyramids (a sync pull costs 27-80 ms over the tunnel)
         logs = sorted(self.trees, reverse=True)
@@ -155,6 +177,7 @@ class CommitmentPhase:
                 m = int(self.trees[cl].top_dev.shape[1])
                 self.trees[cl].finish_host(tops[:, off : off + m])
                 off += m
+            _micro(tm, "top pull + host pyramids")
 
     def coeff_slice(self, start: int, count: int):
         """Stacked coefficient rows for columns [start, start+count), which
@@ -187,12 +210,11 @@ class CommitmentPhase:
         for _, r in self.roots():
             channel.mix_root(r)
 
-    def sample(self, points_per_column):
-        """Evaluate columns at sample points.  All columns of one log_size in
-        a phase must share the same point list (the protocol guarantees it);
-        one stacked jitted point-evaluation per (log, point) and ONE
-        device->host pull for the whole phase."""
-        out = [[None] * len(pts) for pts in points_per_column]
+    def sample_dispatch(self, points_per_column):
+        """Queue the point-evaluation kernels for this phase; returns an
+        opaque (jobs, devs) handle for `sample_finish`.  All columns of one
+        log_size in a phase must share the same point list (the protocol
+        guarantees it): one stacked jitted evaluation per (log, point)."""
         jobs = {}
         for ci, (l, pts) in enumerate(zip(self.trace_logs, points_per_column)):
             for pi_, z in enumerate(pts):
@@ -203,8 +225,17 @@ class CommitmentPhase:
             tws = fft.point_eval_twiddles_host(z, l)
             v = _eval_stack(l)(coeffs, jnp.asarray(tws))
             devs.append(jnp.stack(v).reshape(-1))  # (4*k,)
-        flat = np.asarray(jnp.concatenate(devs)) if devs else np.zeros(0)
-        off = 0
+        return jobs, devs, len(points_per_column)
+
+    def sample_finish(self, handle, flat: np.ndarray, off: int):
+        """Assemble sampled values from the (already pulled) flat array
+        starting at ``off``; returns (values, new offset)."""
+        jobs, devs, n_cols = handle
+        sizes = {}
+        for lst in jobs.values():
+            for ci, pi_ in lst:
+                sizes[ci] = max(sizes.get(ci, 0), pi_ + 1)
+        out = [[None] * sizes.get(ci, 0) for ci in range(n_cols)]
         for (l, z), lst in jobs.items():
             k = int(self.stacked_coeffs[l].shape[0])
             vh = flat[off : off + 4 * k].reshape(4, k)
@@ -212,6 +243,17 @@ class CommitmentPhase:
             for ci, pi_ in lst:
                 _, pos = self.group_index[ci]
                 out[ci][pi_] = tuple(int(vh[j][pos]) for j in range(4))
+        return out, off
+
+    def sample(self, points_per_column):
+        """Evaluate columns at sample points with ONE device->host pull
+        (single-phase convenience; `prove_values` batches all phases)."""
+        handle = self.sample_dispatch(points_per_column)
+        devs = handle[1]
+        flat = (
+            np.asarray(jnp.concatenate(devs)) if devs else np.zeros(0)
+        )
+        out, _ = self.sample_finish(handle, flat, 0)
         return out
 
 
@@ -301,10 +343,22 @@ class CommitmentSchemeProver:
                 "sample points don't cover every committed column "
                 f"({len(pts)} vs {len(phase.trace_logs)})"
             )
-        # 1. sample + mix
-        sampled = [
-            phase.sample(pts) for phase, pts in zip(self.phases, sample_points)
+        # 1. sample + mix — all phases' point evaluations queued first, then
+        # ONE device->host pull for everything (a sync pull costs ~27 ms of
+        # tunnel latency, and there are 4 phases)
+        handles = [
+            phase.sample_dispatch(pts)
+            for phase, pts in zip(self.phases, sample_points)
         ]
+        all_devs = [d for h in handles for d in h[1]]
+        flat = (
+            np.asarray(jnp.concatenate(all_devs)) if all_devs else np.zeros(0)
+        )
+        sampled = []
+        off = 0
+        for phase, h in zip(self.phases, handles):
+            vals, off = phase.sample_finish(h, flat, off)
+            sampled.append(vals)
         _t("sample")
         flat = [
             v
@@ -316,12 +370,12 @@ class CommitmentSchemeProver:
         # 2. quotient alpha
         random_coeff = channel.draw_felt()
         # column handles are ((phase, commit_log), row) pairs into the phases'
-        # committed stacks — quotient_column_device gathers per stack, so the
-        # full committed payload is never re-concatenated
+        # FFT-order extended stacks — quotient_column_device gathers per
+        # stack, so the full committed payload is never re-concatenated
         stacks = {
-            (pi_, cl): phase.stacked_commit[cl]
+            (pi_, cl): phase.stacked_ext[cl]
             for pi_, phase in enumerate(self.phases)
-            for cl in phase.stacked_commit
+            for cl in phase.stacked_ext
         }
         # enumerate (phase, column, point) -> alpha^k
         samples = []

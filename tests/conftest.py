@@ -33,6 +33,8 @@ _SLOW_FILES = {
     "test_sharded_prover.py",
     "test_sha256_example.py",
     "test_production_protocol.py",
+    # multi-process: each worker pays full interpreter + jit startup
+    "test_distributed_segments.py",
 }
 
 

