@@ -1,47 +1,71 @@
-"""Cairo-M source formatter.
+"""Cairo-M source formatter: token stream -> Wadler doc IR -> text.
 
-Role of `crates/compiler/formatter` (Wadler-style printer with comment
-preservation, SURVEY.md §2.3), built token-first: formatting re-emits the
-comment-carrying token stream with canonical spacing/indentation, so
-comments survive by construction and idempotence is structural
-(format(format(x)) == format(x), tested in tests/test_formatter.py).
+Role of `crates/compiler/formatter` (doc-IR pretty printer with comment
+preservation, SURVEY.md §2.3; doc engine `formatter/src/doc.rs`, defaults
+`config.rs`: max_width 100, indent 4, no trailing comma).
 
-Canon: 4-space indent; one space around binary operators, after commas and
-around `->`; no space inside parens/brackets or before `;`/`,`; `{` on the
-same line; at most one consecutive blank line; line comments keep their
-attachment (same line -> two spaces before `//`).
+Design: comment preservation is token-first — formatting re-emits the
+comment-carrying token stream, so comments survive by construction and
+idempotence is structural (format(format(x)) == format(x), tested in
+tests/test_tooling.py).  Statement structure (blocks, `}`-chains, blank
+lines) is resolved on the token walk; each logical line then becomes a
+`doc.py` document where every bracket pair is a group — rendered flat
+when it fits the width, otherwise broken after the open bracket and at
+commas with a 4-space relative indent.
+
+Canon: 4-space indent; 100-column width; one space around binary
+operators, after commas and around `->`; no space inside parens/brackets
+or before `;`/`,`; `{` on the same line; at most one consecutive blank
+line; line comments keep their attachment (same line -> two spaces before
+`//`).
 """
 
 from __future__ import annotations
 
+from . import doc
 from .lexer import LexError, tokenize
 
 INDENT = "    "
+INDENT_W = 4
+MAX_WIDTH = 100
 
 # operators glued to the previous token (no space before)
 _NO_SPACE_BEFORE = {",", ";", ")", "]", ".", ":"}
 _NO_SPACE_AFTER = {"(", "[", ".", "!"}
-_UNARY_CTX = {"op", None}  # a '-'/'!'/'&' after these token kinds is unary
 
 
-def format_source(src: str) -> str:
+def format_source(src: str, max_width: int = MAX_WIDTH) -> str:
     toks = [t for t in tokenize(src, keep_comments=True) if t.kind != "eof"]
     out_lines: list[str] = []
-    cur: list[str] = []
+    cur: list = []  # tokens of the logical line being collected
+    line_depth = 0  # indent depth captured at the line's first token
     depth = 0
-    prev = None  # previous non-comment token on this line
     prev_line = 0
 
-    def flush():
-        nonlocal cur, prev
-        line = "".join(cur).rstrip()
-        out_lines.append(line)
+    def flush(trailing: str | None = None):
+        nonlocal cur
+        if not cur and trailing is None:
+            return
+        base = INDENT * line_depth
+        if cur:
+            body = doc.render(
+                doc.concat(_line_doc(cur)),
+                max(max_width - len(base), 24),
+            )
+            lines = body.split("\n")
+            rendered = [base + lines[0]] + [base + l for l in lines[1:]]
+        else:
+            rendered = [base.rstrip()]
+        if trailing is not None:
+            rendered[-1] = (rendered[-1] + "  " + trailing).strip() if not cur else rendered[-1] + "  " + trailing
+        out_lines.extend(r.rstrip() for r in rendered)
         cur = []
-        prev = None
 
-    def start_line():
+    def begin(tok):
+        nonlocal line_depth
         if not cur:
-            cur.append(INDENT * depth)
+            line_depth = depth
+            blank_gap(tok)
 
     def blank_gap(tok):
         """Preserve at most one blank line from the original."""
@@ -52,74 +76,107 @@ def format_source(src: str) -> str:
     while i < len(toks):
         t = toks[i]
         if t.kind == "comment":
-            if cur and prev is not None and t.line == prev_line:
-                cur.append("  " + t.text)
-                flush()
+            if cur and t.line == prev_line:
+                flush(trailing=t.text)
             else:
-                if cur:
-                    flush()
+                flush()
                 blank_gap(t)
                 for k, cl in enumerate(t.text.splitlines()):
                     out_lines.append(
-                        INDENT * depth + (cl.strip() if k else cl.rstrip())
+                        (INDENT * depth + (cl.strip() if k else cl.rstrip())).rstrip()
                     )
             prev_line = t.line + t.text.count("\n")
             i += 1
             continue
 
         if t.text == "}":
-            if cur:
-                flush()
+            flush()
             depth = max(0, depth - 1)
-            blank_gap(t)
-            start_line()
-            cur.append("}")
-            # `} else`, `};`, `},` continue the line
+            begin(t)
+            cur.append(t)
+            prev_line = t.line
             nxt = toks[i + 1] if i + 1 < len(toks) else None
-            if nxt is not None and (
-                nxt.text in (";", ",") or nxt.text == "else"
-            ):
-                prev = t
-                prev_line = t.line
+            # `} else`, `};`, `},` continue the line
+            if nxt is not None and (nxt.text in (";", ",") or nxt.text == "else"):
                 i += 1
                 continue
             flush()
-            prev_line = t.line
             i += 1
             continue
 
-        if not cur:
-            blank_gap(t)
-        start_line()
-        cur.append(_sep(prev, t) + t.text)
-        prev = t
+        begin(t)
+        cur.append(t)
         prev_line = t.line
 
         if t.text == "{":
             depth += 1
-            # attached trailing comment stays on this line
             nxt = toks[i + 1] if i + 1 < len(toks) else None
-            if not (
-                nxt is not None
-                and nxt.kind == "comment"
-                and nxt.line == t.line
-            ):
+            # attached trailing comment stays on this line
+            if not (nxt is not None and nxt.kind == "comment" and nxt.line == t.line):
                 flush()
         elif t.text == ";":
             nxt = toks[i + 1] if i + 1 < len(toks) else None
-            if not (
-                nxt is not None
-                and nxt.kind == "comment"
-                and nxt.line == t.line
-            ):
+            if not (nxt is not None and nxt.kind == "comment" and nxt.line == t.line):
                 flush()
         i += 1
 
-    if cur:
-        flush()
+    flush()
     while out_lines and out_lines[-1] == "":
         out_lines.pop()
     return "\n".join(out_lines) + "\n"
+
+
+def _line_doc(toks):
+    """Token list (one logical line) -> doc parts.  Every bracket pair is a
+    group: flat when it fits, else broken after the open bracket and at its
+    commas, body indented one level."""
+
+    def walk(i, prev, closer):
+        parts = []
+        while i < len(toks):
+            t = toks[i]
+            if closer is not None and t.text == closer:
+                return parts, i, prev
+            if t.text in ("(", "["):
+                close = ")" if t.text == "(" else "]"
+                open_txt = _sep(prev, t) + t.text
+                inner, j, _last = walk(i + 1, None, close)
+                if j < len(toks):
+                    parts.append(
+                        doc.group(
+                            doc.concat(
+                                [
+                                    doc.text(open_txt),
+                                    doc.indent(
+                                        INDENT_W,
+                                        doc.concat([doc.softline()] + inner),
+                                    ),
+                                    doc.softline(),
+                                    doc.text(close),
+                                ]
+                            )
+                        )
+                    )
+                    prev = toks[j]
+                    i = j + 1
+                    continue
+                # unbalanced bracket (broken source): emit verbatim
+                parts.append(doc.text(open_txt))
+                parts.extend(inner)
+                return parts, j, _last
+            if t.text == "," and closer is not None:
+                parts.append(doc.text(","))
+                parts.append(doc.line())
+                prev = None  # no separator after a break point
+                i += 1
+                continue
+            parts.append(doc.text(_sep(prev, t) + t.text))
+            prev = t
+            i += 1
+        return parts, i, prev
+
+    parts, _, _ = walk(0, None, None)
+    return parts
 
 
 def _sep(prev, t) -> str:
@@ -142,19 +199,17 @@ def _sep(prev, t) -> str:
         return " "
     if a in ("{",):
         return " " if b == "}" else ""
-    if b == "}" :
+    if b == "}":
         return " "
     # unary +/-/! after operator/keyword/open: glue
-    if b in ("-", "!", "&", "*") and (
-        prev.kind == "op" and a not in (")", "]")
-    ):
+    if b in ("-", "!", "&", "*") and (prev.kind == "op" and a not in (")", "]")):
         return "" if a in ("(", "[", ",") else " "
-    if prev.kind == "op" and a in ("-", "!") :
+    if prev.kind == "op" and a in ("-", "!"):
         # after a unary operator, glue the operand
         return ""
     if a == "," or a == ";":
         return " "
-    if a == ":" :
+    if a == ":":
         return " "
     if prev.kind == "op" and a not in (")", "]"):
         return " "

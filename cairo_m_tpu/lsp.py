@@ -33,6 +33,7 @@ def _rng(l0, c0, l1, c1) -> dict:
 class Server:
     def __init__(self):
         self.docs: dict[str, str] = {}  # uri -> text
+        self._index_cache: dict = {}  # uri -> (text, SemanticIndex)
         self.shutdown_requested = False
 
     # -- dispatch --
@@ -49,6 +50,7 @@ class Server:
             "textDocument/definition": self.definition,
             "textDocument/references": self.references,
             "textDocument/documentSymbol": self.document_symbol,
+            "textDocument/completion": self.completion,
         }.get(method)
         if fn is None:
             return None
@@ -65,6 +67,7 @@ class Server:
                 "documentSymbolProvider": True,
                 "hoverProvider": True,
                 "documentFormattingProvider": True,
+                "completionProvider": {"triggerCharacters": ["."]},
             },
             "serverInfo": {"name": "cairo-m-tpu-ls", "version": "0.1"},
         }
@@ -153,105 +156,138 @@ class Server:
             return _hover_md(f"const {word} = {tm.consts[word]}")
         return None
 
-    # -- navigation (text-scan symbol model; positions are line/word based
-    # because the AST records lines only — reference cairo-m-ls keeps a
-    # full salsa span model, this covers the goto-def/references surface) --
+    # -- navigation (semantic-index-backed: every identifier occurrence is
+    # resolved to its binding through lexical scopes, so goto-def and
+    # references are shadowing-correct — compiler/semindex.py, role of the
+    # reference's SemanticIndex in crates/compiler/semantic) --
 
-    def _symbols(self, text: str):
-        """[(kind, name, line, col)] for fn/struct/const definitions."""
-        import re
+    def _index(self, uri: str):
+        from .compiler.semindex import build_index
 
-        out = []
-        for ln, line_text in enumerate(text.splitlines()):
-            for kind, pat in (
-                ("function", r"^\s*fn\s+([A-Za-z_]\w*)"),
-                ("struct", r"^\s*struct\s+([A-Za-z_]\w*)"),
-                ("constant", r"^\s*const\s+([A-Za-z_]\w*)"),
-            ):
-                m = re.match(pat, line_text)
-                if m:
-                    out.append((kind, m.group(1), ln, m.start(1)))
-        return out
-
-    def _local_def(self, text: str, word: str, use_line: int):
-        """Line/col of the nearest `let word` / param `word` at or above
-        the use, within the enclosing function."""
-        import re
-
-        lines = text.splitlines()
-        # find the enclosing function start
-        fn_start = 0
-        for ln in range(min(use_line, len(lines) - 1), -1, -1):
-            if re.match(r"^\s*fn\s", lines[ln]):
-                fn_start = ln
-                break
-        let_pat = re.compile(
-            r"\b(?:let|for\s*\(\s*let)\s+(" + re.escape(word) + r")\b"
-        )
-        for ln in range(min(use_line, len(lines) - 1), fn_start - 1, -1):
-            m = let_pat.search(lines[ln])
-            if m:
-                return ln, m.start(1)
-        # parameter on the fn line
-        m = re.search(r"\b(" + re.escape(word) + r")\s*:", lines[fn_start])
-        if m:
-            return fn_start, m.start(1)
-        return None
+        text = self.docs.get(uri, "")
+        cached = self._index_cache.get(uri)
+        if cached is not None and cached[0] == text:
+            return cached[1]
+        idx = build_index(text)
+        self._index_cache[uri] = (text, idx)
+        return idx
 
     def definition(self, params):
         uri = params["textDocument"]["uri"]
-        text = self.docs.get(uri, "")
-        word = _word_at(
-            text, params["position"]["line"], params["position"]["character"]
+        idx = self._index(uri)
+        b = idx.binding_at(
+            params["position"]["line"], params["position"]["character"]
         )
-        if not word:
+        if b is None:
             return None
-        for kind, name, ln, col in self._symbols(text):
-            if name == word:
-                return {
-                    "uri": uri,
-                    "range": _rng(ln, col, ln, col + len(word)),
-                }
-        loc = self._local_def(text, word, params["position"]["line"])
-        if loc is not None:
-            ln, col = loc
-            return {"uri": uri, "range": _rng(ln, col, ln, col + len(word))}
-        return None
+        return {
+            "uri": uri,
+            "range": _rng(b.line0, b.col0, b.line0, b.col0 + len(b.name)),
+        }
 
     def references(self, params):
-        import re
-
         uri = params["textDocument"]["uri"]
-        text = self.docs.get(uri, "")
-        word = _word_at(
-            text, params["position"]["line"], params["position"]["character"]
+        idx = self._index(uri)
+        b = idx.binding_at(
+            params["position"]["line"], params["position"]["character"]
         )
-        if not word:
+        if b is None:
             return []
-        pat = re.compile(r"\b" + re.escape(word) + r"\b")
-        out = []
-        for ln, line_text in enumerate(text.splitlines()):
-            for m in pat.finditer(line_text):
-                out.append(
-                    {"uri": uri, "range": _rng(ln, m.start(), ln, m.end())}
-                )
-        return out
+        return [
+            {"uri": uri, "range": _rng(l, c, l, c + len(b.name))}
+            for l, c in idx.references_to(b.id)
+        ]
 
     def document_symbol(self, params):
-        KIND = {"function": 12, "struct": 23, "constant": 14}
+        KIND = {"fn": 12, "struct": 23, "const": 14, "field": 8}
         uri = params["textDocument"]["uri"]
-        text = self.docs.get(uri, "")
+        idx = self._index(uri)
         return [
             {
-                "name": name,
-                "kind": KIND[kind],
+                "name": b.name,
+                "kind": KIND[b.kind],
                 "location": {
                     "uri": uri,
-                    "range": _rng(ln, col, ln, col + len(name)),
+                    "range": _rng(
+                        b.line0, b.col0, b.line0, b.col0 + len(b.name)
+                    ),
                 },
             }
-            for kind, name, ln, col in self._symbols(text)
+            for b in idx.bindings
+            if b.kind in ("fn", "struct", "const")
         ]
+
+    # -- completion --
+
+    def completion(self, params):
+        from .compiler.semindex import KEYWORDS, let_type_from_literal
+
+        uri = params["textDocument"]["uri"]
+        text = self.docs.get(uri, "")
+        line = params["position"]["line"]
+        col = params["position"]["character"]
+        idx = self._index(uri)
+        lines = text.splitlines()
+        cur = lines[line] if line < len(lines) else ""
+        before = cur[:col]
+        # member access: `<receiver>.` -> the receiver type's fields
+        stripped = before.rstrip()
+        word_prefix = ""
+        dot = False
+        if stripped.endswith("."):
+            dot = True
+            recv_end = len(stripped) - 1
+        else:
+            a = len(before)
+            while a > 0 and (before[a - 1].isalnum() or before[a - 1] == "_"):
+                a -= 1
+            word_prefix = before[a:]
+            if a > 0 and before[:a].rstrip().endswith("."):
+                dot = True
+                recv_end = len(before[:a].rstrip()) - 1
+        if dot:
+            b = len(cur[:recv_end])
+            a = b
+            while a > 0 and (cur[a - 1].isalnum() or cur[a - 1] == "_"):
+                a -= 1
+            recv = cur[a:b]
+            rb = idx.binding_at(line, a)
+            ty = ""
+            if rb is not None:
+                ty = (rb.type_text or "").strip()
+                if not ty and rb.kind == "let":
+                    ty = let_type_from_literal(text, rb)
+            fields = idx.struct_fields.get(ty, [])
+            return {
+                "isIncomplete": False,
+                "items": [
+                    {
+                        "label": f.name,
+                        "kind": 5,  # Field
+                        "detail": f.type_text,
+                        "sortText": f"0_{f.name}",
+                    }
+                    for f in fields
+                    if f.name.startswith(word_prefix)
+                ],
+            }
+        KIND = {"fn": 3, "struct": 22, "const": 21, "param": 6, "let": 6}
+        items = [
+            {
+                "label": b.name,
+                "kind": KIND.get(b.kind, 6),
+                "detail": (b.type_text or b.kind),
+                "sortText": f"0_{b.name}",
+            }
+            for b in idx.visible_at(line, col)
+            if b.kind != "field" and b.name.startswith(word_prefix)
+        ]
+        items += [
+            {"label": k, "kind": 14, "sortText": f"1_{k}"}
+            for k in KEYWORDS
+            if k.startswith(word_prefix)
+        ]
+        return {"isIncomplete": False, "items": items}
 
     # -- formatting --
 

@@ -410,13 +410,19 @@ class FriProver:
         ]
         channel.mix_felts(self.last_layer)
 
-    def decommit(self, queries) -> FriProof:
+    def decommit_plans(self, queries):
+        """(roots, DecommitPlans) — callers batch these with the phase
+        trees' plans into ONE device->host pull (merkle.finish_plans)."""
         roots = []
         plans = []
         for log_k, tree in self.inner_trees:
             pairs = pair_positions(queries, self.max_log, log_k)
             roots.append(tree.root())
             plans.append(merkle.DecommitPlan(tree, pairs))
+        return roots, plans
+
+    def decommit(self, queries) -> FriProof:
+        roots, plans = self.decommit_plans(queries)
         decs = merkle.finish_plans(plans)  # one device->host pull
         return FriProof(roots, decs, self.last_layer)
 

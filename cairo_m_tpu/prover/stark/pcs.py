@@ -405,7 +405,8 @@ class CommitmentSchemeProver:
         # 5. queries
         max_log = fri_prover.max_log
         queries = channel.draw_queries(self.config.fri_config.n_queries, max_log)
-        # 6. decommit — all phase trees' openings in ONE device->host pull
+        # 6. decommit — all phase trees' AND FRI layer trees' openings in
+        # ONE device->host pull
         plan_keys = []
         plans = []
         for pi_, phase in enumerate(self.phases):
@@ -413,13 +414,15 @@ class CommitmentSchemeProver:
                 pairs = fri.pair_positions(queries, max_log, cl)
                 plans.append(merkle.DecommitPlan(tree, pairs))
                 plan_keys.append((pi_, cl))
-        decs = merkle.finish_plans(plans)
+        fri_roots, fri_plans = fri_prover.decommit_plans(queries)
+        decs = merkle.finish_plans(plans + fri_plans)
         decommitments = [{} for _ in self.phases]
-        for (pi_, cl), dec in zip(plan_keys, decs):
+        for (pi_, cl), dec in zip(plan_keys, decs[: len(plans)]):
             decommitments[pi_][cl] = dec
-        _t("phase decommit")
-        fri_proof = fri_prover.decommit(queries)
-        _t("fri decommit")
+        fri_proof = fri.FriProof(
+            fri_roots, decs[len(plans) :], fri_prover.last_layer
+        )
+        _t("decommit (phases + fri)")
         return PcsProof(
             [p.roots() for p in self.phases],
             sampled,

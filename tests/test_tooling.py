@@ -83,6 +83,44 @@ def test_formatter_mdtest_corpus_idempotent():
     assert checked > 50
 
 
+def test_formatter_wraps_long_lines():
+    """Doc-IR groups: long call/param lists break at commas with one level
+    of indent; short ones stay flat (reference doc.rs group semantics)."""
+    src = (
+        "fn f(first_argument: felt, second_argument: felt, third_argument: "
+        "felt, fourth_argument: felt, fifth_argument: felt) -> felt { "
+        "return helper(first_argument + second_argument, third_argument, "
+        "fourth_argument * fifth_argument, another_helper(first_argument, "
+        "second_argument, 1234567)); }"
+    )
+    out = format_source(src)
+    assert all(len(l) <= 100 for l in out.splitlines()), out
+    assert "fn f(\n    first_argument: felt,\n" in out
+    assert check_idempotent(src)
+    # short lines stay flat
+    flat = format_source("fn g(a: felt) -> felt { return a + 1; }")
+    assert flat == "fn g(a: felt) -> felt {\n    return a + 1;\n}\n"
+
+
+def test_doc_engine_group_semantics():
+    from cairo_m_tpu.compiler import doc
+
+    d = doc.group(
+        doc.concat(
+            [
+                doc.text("("),
+                doc.indent(4, doc.concat([doc.softline(), doc.text("abc"),
+                                          doc.text(","), doc.line(),
+                                          doc.text("def")])),
+                doc.softline(),
+                doc.text(")"),
+            ]
+        )
+    )
+    assert doc.render(d, 100) == "(abc, def)"
+    assert doc.render(d, 8) == "(\n    abc,\n    def\n)"
+
+
 # ---------------------------------------------------------------------------
 # diagnostics battery
 # ---------------------------------------------------------------------------
