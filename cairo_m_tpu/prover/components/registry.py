@@ -98,13 +98,20 @@ class ComponentSet:
 
     # -- witness generation --
 
-    def write_traces(self, prover_input):
-        self.memory.write_trace(prover_input)
-        self.merkle.write_trace(prover_input)
-        self.clock_update.write_trace(prover_input)
-        self.poseidon2.write_trace(prover_input)
-        for oc in self.opcodes:
-            oc.write_trace(prover_input)
+    def write_traces(self, prover_input, on_component=None):
+        """Generate all witness traces.  ``on_component(comp)`` fires as soon
+        as a component's rows exist — the prover uses it to start that
+        component's (async) H2D upload while later components' witnesses are
+        still being generated on host, overlapping the accelerator-tunnel
+        transfer with host work.  The four table components fire last (their
+        multiplicity columns need every other component's entries)."""
+        non_table = [
+            self.memory, self.merkle, self.clock_update, self.poseidon2,
+        ] + self.opcodes
+        for comp in non_table:
+            comp.write_trace(prover_input)
+            if on_component is not None:
+                on_component(comp)
         # count range-check / bitwise consumptions generically.  Only
         # components whose relation entries actually touch a table relation
         # need the (expensive) host entry re-derivation — the generic five
@@ -169,6 +176,12 @@ class ComponentSet:
         self.range_check_16.write_trace((rc[16] % P).astype(np.uint32))
         self.range_check_20.write_trace((rc[big] % P).astype(np.uint32))
         self.bitwise.write_trace((bw % P).astype(np.uint32))
+        if on_component is not None:
+            for comp in (
+                self.range_check_8, self.range_check_16,
+                self.range_check_20, self.bitwise,
+            ):
+                on_component(comp)
 
     # -- column enumeration for the PCS phases --
 

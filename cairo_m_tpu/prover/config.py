@@ -56,12 +56,26 @@ REGULAR_96_BITS = PcsConfig(
     ),
 )
 
+# Same security numbers under the stwo-framing backend: stwo's
+# Blake2sChannel byte framing + one mixed-degree Merkle tree per phase
+# (stark/stwo_channel.py, stark/stwo_merkle.py — the bit-parity path of
+# PROTOCOL.md §3; reference `prover_config.rs:13-20` + stwo import surface
+# SURVEY.md §2.9).
+STWO_FRAMING_96_BITS = PcsConfig(
+    pow_bits=16,
+    fri_config=FriConfig(
+        log_blowup_factor=1, log_last_layer_degree_bound=0, n_queries=80
+    ),
+    framing="stwo",
+)
 
-def test_config(n_queries=12, pow_bits=4) -> PcsConfig:
+
+def test_config(n_queries=12, pow_bits=4, framing="native") -> PcsConfig:
     """Small config for fast tests (NOT production security)."""
     return PcsConfig(
         pow_bits=pow_bits,
         fri_config=FriConfig(
             log_blowup_factor=1, log_last_layer_degree_bound=0, n_queries=n_queries
         ),
+        framing=framing,
     )

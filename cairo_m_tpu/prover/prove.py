@@ -168,7 +168,7 @@ def _dbg(t0, msg):
 
 def prove_cairo_m(prover_input, config=REGULAR_96_BITS, timing=None):
     t0 = time.time()
-    channel = Blake2sChannel()
+    channel = config.make_channel()
     config.mix_into(channel)
 
     public_data = PublicData.new(prover_input)
@@ -177,8 +177,25 @@ def prove_cairo_m(prover_input, config=REGULAR_96_BITS, timing=None):
     relations = Relations()
     comps = ComponentSet(relations)
     _dbg(t0, "public data")
-    comps.write_traces(prover_input)
-    _dbg(t0, "write_traces (host)")
+    # Witness generation pipelined with upload: each component's packed
+    # planes (stark/colpack.py) start their async H2D transfer the moment
+    # its rows exist, so the ~25 MB/s tunnel moves data while the host is
+    # still generating later components' witnesses and the table
+    # multiplicity histograms.  Zero-witness components upload nothing
+    # (their stacks are device-side zero fills below).
+    from ..parallel.sharded import maybe_shard
+    from .stark import colpack
+
+    uploaded = {}
+
+    def _upload(comp):
+        if not comp.zero_witness:
+            uploaded[id(comp)] = maybe_shard(
+                colpack.upload_stack(comp.trace_rows, comp.non_padded_length)
+            )
+
+    comps.write_traces(prover_input, on_component=_upload)
+    _dbg(t0, "write_traces (host, uploads pipelined)")
 
     scheme = pcs.CommitmentSchemeProver(channel, config)
 
@@ -203,39 +220,32 @@ def prove_cairo_m(prover_input, config=REGULAR_96_BITS, timing=None):
             mesh.axis_names,
         )
     )
-    pre_key = (SCALE.key(), config.fri_config.log_blowup_factor, mesh_key)
+    pre_key = (
+        SCALE.key(), config.fri_config.log_blowup_factor, mesh_key,
+        config.framing,
+    )
     cached = _PRE_PHASE_CACHE.get(pre_key)
     if cached is None:
         cached = pcs.CommitmentPhase(
             [(l, _fftify(c, l)) for l, c in pre_cols],
             config.fri_config.log_blowup_factor,
+            framing=config.framing,
         )
         _PRE_PHASE_CACHE.clear()  # hold at most one scale's tables in HBM
         _PRE_PHASE_CACHE[pre_key] = cached
     scheme.commit_phase(cached)
     _dbg(t0, "phase0 commit")
 
-    # claim: mix log sizes; phase 1: trace.  Each component's trace rows are
-    # uploaded once as a stacked device array, reused by the commit (FFT
-    # order is a pure device slicing) and by the witness tape kernels below.
+    # claim: mix log sizes; phase 1: trace.  Each component's trace stack
+    # was uploaded (async, packed — stark/colpack.py) during write_traces
+    # above; the commit reuses it (FFT order is a pure device slicing), as
+    # do the witness tape kernels below.
     for comp in comps.all:
         channel.mix_u64(comp.log_size)
-    from ..parallel.sharded import maybe_shard
-
-    # zero-witness components (all rows padding) upload nothing: their
-    # trace stacks are device-side zero fills, and fft order of zeros is
-    # zeros — no per-component H2D transfer or gather dispatch.  Non-zero
-    # components upload column-PACKED planes (stark/colpack.py): the
-    # tunnel's ~25 MB/s H2D made raw uint32 column uploads the dominant
-    # trace-phase cost.
-    from .stark import colpack
-
     trace_stacks = [
         jnp.zeros((comp.n_trace_cols, 1 << comp.log_size), jnp.uint32)
         if comp.zero_witness
-        else maybe_shard(
-            colpack.upload_stack(comp.trace_rows, comp.non_padded_length)
-        )
+        else uploaded[id(comp)]
         for comp in comps.all
     ]
     scheme.commit(

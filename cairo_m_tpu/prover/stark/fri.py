@@ -294,21 +294,33 @@ class FriProof:
 
     @staticmethod
     def from_json_obj(o):
+        def _dec(d):
+            if isinstance(d, dict) and d.get("format") == "stwo":
+                from .stwo_merkle import StwoPhaseOpening
+
+                return StwoPhaseOpening.from_json_obj(d)
+            return merkle.MerkleDecommitment.from_json_obj(d)
+
         return FriProof(
             [bytes.fromhex(r) for r in o["inner_roots"]],
-            [merkle.MerkleDecommitment.from_json_obj(d) for d in o["inner_decommitments"]],
+            [_dec(d) for d in o["inner_decommitments"]],
             [tuple(q) for q in o["last_layer"]],
         )
 
 
 class FriProver:
-    def __init__(self, channel, columns, config: FriConfig):
+    def __init__(self, channel, columns, config: FriConfig, framing="native"):
         """columns: list of (circle_log_size, qm31 limb-tuple, FFT/natural
         order), any order; sorted internally descending.  All folding runs
         in natural order (contiguous-half pairs); every committed layer and
         the last layer are bit-reversed into commit order, so the emitted
-        proof bytes are identical to a commit-order prover."""
+        proof bytes are identical to a commit-order prover.
+
+        ``framing="stwo"``: each committed layer is a mixed-degree stwo
+        tree over its 4 limb columns (stwo_merkle.py) instead of the native
+        grouped tree; folds and transcript order are unchanged."""
         self.config = config
+        self.framing = framing
         by_log: dict[int, list] = {}
         for l, c in columns:
             by_log.setdefault(int(l), []).append(c)
@@ -348,7 +360,18 @@ class FriProver:
                 on_host = True
             # layers live in NATURAL (fft) order; each commit bit-reverses
             # its own copy so the committed bytes stay protocol-identical
-            if on_host:
+            if self.framing == "stwo":
+                from . import stwo_merkle
+
+                commit_np = (
+                    domain.bit_reverse(np.asarray(layer), k)
+                    if on_host
+                    else np.asarray(_bitrev_jit(k)(layer))
+                )
+                tree = stwo_merkle.StwoMerkleTree(
+                    [commit_np[j] for j in range(4)]
+                )
+            elif on_host:
                 tree = merkle.commit(
                     domain.bit_reverse(np.asarray(layer), k)
                 )  # host pyramid
@@ -410,6 +433,18 @@ class FriProver:
         ]
         channel.mix_felts(self.last_layer)
 
+    def stwo_decommit(self, queries):
+        """(roots, StwoPhaseOpenings) for the stwo-framing backend."""
+        from . import stwo_merkle
+
+        roots, openings = [], []
+        for log_k, tree in self.inner_trees:
+            pairs = pair_positions(queries, self.max_log, log_k)
+            roots.append(tree.root())
+            queried, dec = tree.decommit({log_k: pairs})
+            openings.append(stwo_merkle.StwoPhaseOpening(queried, dec))
+        return roots, openings
+
     def decommit_plans(self, queries):
         """(roots, DecommitPlans) — callers batch these with the phase
         trees' plans into ONE device->host pull (merkle.finish_plans)."""
@@ -433,10 +468,14 @@ class FriProver:
 
 
 class FriVerifier:
-    def __init__(self, channel, config: FriConfig, column_logs, proof: FriProof):
+    def __init__(
+        self, channel, config: FriConfig, column_logs, proof: FriProof,
+        framing="native",
+    ):
         """column_logs: log sizes of the input columns (same multiset as the
         prover's).  Replays the channel, recording folding alphas."""
         self.config = config
+        self.framing = framing
         self.column_logs = sorted(set(int(l) for l in column_logs), reverse=True)
         self.counts = {
             l: sum(1 for x in column_logs if x == l) for l in self.column_logs
@@ -506,6 +545,21 @@ class FriVerifier:
         ):
             log_k = self.max_log - 1 - idx
             pairs = pair_positions(queries, self.max_log, log_k)
+            if self.framing == "stwo":
+                from . import stwo_merkle
+
+                if not isinstance(dec, stwo_merkle.StwoPhaseOpening):
+                    return False
+                if not stwo_merkle.verify_decommitment(
+                    root, [log_k] * 4, {log_k: pairs}, dec.queried, dec.dec
+                ):
+                    return False
+                vals = {
+                    p: tuple(dec.queried[j][i] for j in range(4))
+                    for i, p in enumerate(pairs)
+                }
+                layer_values.append(vals)
+                continue
             if not merkle.verify_decommitment(root, log_k, 4, pairs, dec):
                 return False
             vals = {}

@@ -86,6 +86,21 @@ P = (1 << 31) - 1
 class PcsConfig:
     pow_bits: int = 16
     fri_config: fri.FriConfig = field(default_factory=fri.FriConfig)
+    # "native": this framework's channel framing + one dense Merkle tree per
+    # (phase, log_size) group (PROTOCOL.md §2.2-2.3, the TPU fast path).
+    # "stwo": stwo's Blake2sChannel byte framing + one mixed-degree tree per
+    # phase with Blake2sMerkleHasher compress framing (stwo_channel.py,
+    # stwo_merkle.py — the bit-parity backend, PROTOCOL.md §3).
+    framing: str = "native"
+
+    def make_channel(self):
+        if self.framing == "stwo":
+            from .stwo_channel import StwoBlake2sChannel
+
+            return StwoBlake2sChannel()
+        from .channel import Blake2sChannel
+
+        return Blake2sChannel()
 
     def mix_into(self, channel):
         channel.mix_u64(self.pow_bits)
@@ -113,7 +128,7 @@ class CommitmentPhase:
     """One committed phase: columns grouped by log_size, one jitted LDE +
     one Merkle tree per group."""
 
-    def __init__(self, columns_fft, log_blowup: int):
+    def __init__(self, columns_fft, log_blowup: int, framing: str = "native"):
         """columns_fft: list of (trace_log_size, fft-order M31 evals) —
         1-D entries are single columns, 2-D entries are (k, n) stacks of k
         columns of that log size (the fast path: per-column device slicing
@@ -122,7 +137,12 @@ class CommitmentPhase:
 
         Each column is LDE'd by the blowup and committed on the extended
         domain.  The *commit log size* of a column = trace_log + blowup.
+
+        ``framing="stwo"`` commits all columns in ONE mixed-degree tree
+        (stwo_merkle.py) instead of one tree per log_size; the FFT/LDE
+        device pipeline is shared.
         """
+        self.framing = framing
         self.trace_logs = []
         # group columns by trace log (stable order within group)
         self.group_index = {}  # column index -> (trace_log, position in group)
@@ -161,10 +181,29 @@ class CommitmentPhase:
             self.stacked_coeffs[l] = coeffs
             self.stacked_ext[cl] = ext_cols
             self.stacked_commit[cl] = commit_cols
+            if framing == "stwo":
+                continue
             self.trees[cl] = merkle.MerkleTree(commit_cols, defer_top=True)
             if _MICRO:
                 jax.block_until_ready(self.trees[cl].top_dev)
                 tm = _micro(tm, f"merkle k={int(stacked.shape[0])} cl={cl}")
+        if framing == "stwo":
+            # one mixed-degree tree over ALL columns in phase column order
+            # (host-side — the stwo backend is the framing-parity path,
+            # PROTOCOL.md §3; the grouped trees above are the TPU fast path)
+            from . import stwo_merkle
+
+            pulled = {
+                cl: np.asarray(self.stacked_commit[cl])
+                for cl in self.stacked_commit
+            }
+            cols = []
+            for ci in range(len(self.trace_logs)):
+                l, pos = self.group_index[ci]
+                cols.append(pulled[l + log_blowup][pos])
+            self.stwo_tree = stwo_merkle.StwoMerkleTree(cols)
+            _micro(tm, "stwo mixed-degree tree")
+            return
         # ONE device->host pull for every tree's top level, then the host
         # pyramids (a sync pull costs 27-80 ms over the tunnel)
         logs = sorted(self.trees, reverse=True)
@@ -192,14 +231,19 @@ class CommitmentPhase:
         return self.stacked_coeffs[l0][p0 : p0 + count]
 
     def roots(self):
+        if self.framing == "stwo":
+            return [(max(self.commit_logs), self.stwo_tree.root())]
         return [(cl, self.trees[cl].root()) for cl in sorted(self.trees, reverse=True)]
 
     def mix_roots(self, channel):
-        """Mix all tree roots largest-first.  Every tree's root is already
-        host-side: __init__ batch-pulls the deferred tops and finish_host()es
-        each, so a tree reaching here with _root unset is a bug (the old
-        root_dev fallback read an attribute that is always None now —
-        ADVICE r4 #3)."""
+        """Mix all tree roots largest-first (stwo framing: the single
+        mixed-degree root).  Every tree's root is already host-side:
+        __init__ batch-pulls the deferred tops and finish_host()es each, so
+        a tree reaching here with _root unset is a bug (the old root_dev
+        fallback read an attribute that is always None now — ADVICE r4 #3)."""
+        if self.framing == "stwo":
+            channel.mix_root(self.stwo_tree.root())
+            return
         logs = sorted(self.trees, reverse=True)
         for cl in logs:
             t = self.trees[cl]
@@ -264,6 +308,19 @@ def _eval_stack(log_size: int):
     )
 
 
+def _dec_from_json(phase_obj):
+    """Deserialize a per-phase decommitment: stwo opening (tagged with
+    ``format: stwo``) or the native per-log_size MerkleDecommitment map."""
+    if isinstance(phase_obj, dict) and phase_obj.get("format") == "stwo":
+        from .stwo_merkle import StwoPhaseOpening
+
+        return StwoPhaseOpening.from_json_obj(phase_obj)
+    return {
+        int(l): merkle.MerkleDecommitment.from_json_obj(d)
+        for l, d in phase_obj.items()
+    }
+
+
 @dataclass
 class PcsProof:
     phase_roots: list  # per phase: [(commit_log, root_bytes)]
@@ -282,7 +339,9 @@ class PcsProof:
                 for phase in self.sampled_values
             ],
             "decommitments": [
-                {str(l): d.to_json_obj() for l, d in phase.items()}
+                phase.to_json_obj()
+                if hasattr(phase, "to_json_obj")
+                else {str(l): d.to_json_obj() for l, d in phase.items()}
                 for phase in self.decommitments
             ],
             "fri_proof": self.fri_proof.to_json_obj(),
@@ -298,7 +357,7 @@ class PcsProof:
                 for phase in o["sampled_values"]
             ],
             [
-                {int(l): merkle.MerkleDecommitment.from_json_obj(d) for l, d in phase.items()}
+                _dec_from_json(phase)
                 for phase in o["decommitments"]
             ],
             fri.FriProof.from_json_obj(o["fri_proof"]),
@@ -314,7 +373,11 @@ class CommitmentSchemeProver:
 
     def commit(self, columns_fft):
         """Commit a phase; mixes its roots into the channel."""
-        phase = CommitmentPhase(columns_fft, self.config.fri_config.log_blowup_factor)
+        phase = CommitmentPhase(
+            columns_fft,
+            self.config.fri_config.log_blowup_factor,
+            framing=self.config.framing,
+        )
         return self.commit_phase(phase)
 
     def commit_phase(self, phase: CommitmentPhase):
@@ -396,7 +459,10 @@ class CommitmentSchemeProver:
         ]
         _t("quotients (dispatch)")
         # 3. FRI commit
-        fri_prover = fri.FriProver(channel, quotient_cols, self.config.fri_config)
+        fri_prover = fri.FriProver(
+            channel, quotient_cols, self.config.fri_config,
+            framing=self.config.framing,
+        )
         _t("fri commit")
         # 4. PoW
         nonce = channel.grind(self.config.pow_bits)
@@ -405,6 +471,31 @@ class CommitmentSchemeProver:
         # 5. queries
         max_log = fri_prover.max_log
         queries = channel.draw_queries(self.config.fri_config.n_queries, max_log)
+        if self.config.framing == "stwo":
+            # 6'. stwo decommit: one mixed-tree opening per phase + one
+            # per FRI layer (host-side, see stwo_merkle.py)
+            from .stwo_merkle import StwoPhaseOpening
+
+            decommitments = []
+            for phase in self.phases:
+                qpl = {
+                    cl: fri.pair_positions(queries, max_log, cl)
+                    for cl in set(phase.commit_logs)
+                }
+                queried, dec = phase.stwo_tree.decommit(qpl)
+                decommitments.append(StwoPhaseOpening(queried, dec))
+            fri_roots, fri_openings = fri_prover.stwo_decommit(queries)
+            fri_proof = fri.FriProof(
+                fri_roots, fri_openings, fri_prover.last_layer
+            )
+            _t("decommit (stwo framing)")
+            return PcsProof(
+                [p.roots() for p in self.phases],
+                sampled,
+                decommitments,
+                fri_proof,
+                nonce,
+            )
         # 6. decommit — all phase trees' AND FRI layer trees' openings in
         # ONE device->host pull
         plan_keys = []
@@ -443,7 +534,11 @@ class CommitmentSchemeVerifier:
         """Replay a phase commitment: mix roots; record column structure."""
         blow = self.config.fri_config.log_blowup_factor
         commit_logs = [l + blow for l in column_trace_logs]
-        expected = sorted(set(commit_logs), reverse=True)
+        expected = (
+            [max(commit_logs)]
+            if self.config.framing == "stwo"
+            else sorted(set(commit_logs), reverse=True)
+        )
         if [l for l, _ in roots] != expected:
             raise ValueError("PCS: phase roots don't match column sizes")
         for _, r in roots:
@@ -476,7 +571,8 @@ class CommitmentSchemeVerifier:
         grouped = quotients.group_samples(samples)
         column_logs_flat = sorted(grouped, reverse=True)
         fri_verifier = fri.FriVerifier(
-            channel, self.config.fri_config, list(grouped.keys()), proof.fri_proof
+            channel, self.config.fri_config, list(grouped.keys()),
+            proof.fri_proof, framing=self.config.framing,
         )
         # PoW
         if not channel.verify_pow(proof.pow_nonce, self.config.pow_bits):
@@ -486,22 +582,52 @@ class CommitmentSchemeVerifier:
         queries = channel.draw_queries(self.config.fri_config.n_queries, max_log)
         # verify phase decommitments, collect opened values per (phase, col)
         opened = {}  # (phase_idx, col_idx) -> {pos: value}
-        for phase_idx, (logs, roots, decs) in enumerate(
-            zip(self.phase_column_logs, self.phase_roots, proof.decommitments)
-        ):
-            roots_d = dict(roots)
-            for cl in sorted(set(logs), reverse=True):
-                cols_here = [i for i, l in enumerate(logs) if l == cl]
-                pairs = fri.pair_positions(queries, max_log, cl)
-                dec = decs.get(cl)
-                if dec is None:
+        if self.config.framing == "stwo":
+            from .stwo_merkle import StwoPhaseOpening
+            from .stwo_merkle import verify_decommitment as stwo_verify
+
+            for phase_idx, (logs, roots, opening) in enumerate(
+                zip(
+                    self.phase_column_logs,
+                    self.phase_roots,
+                    proof.decommitments,
+                )
+            ):
+                if not isinstance(opening, StwoPhaseOpening):
                     return False
-                if not merkle.verify_decommitment(
-                    roots_d[cl], cl, len(cols_here), pairs, dec
+                qpl = {
+                    cl: fri.pair_positions(queries, max_log, cl)
+                    for cl in set(logs)
+                }
+                if not stwo_verify(
+                    roots[0][1], logs, qpl, opening.queried, opening.dec
                 ):
                     return False
-                for j, col_idx in enumerate(cols_here):
-                    opened[(phase_idx, col_idx)] = dec.values[j]
+                for ci, cl in enumerate(logs):
+                    opened[(phase_idx, ci)] = dict(
+                        zip(qpl[cl], opening.queried[ci])
+                    )
+        else:
+            for phase_idx, (logs, roots, decs) in enumerate(
+                zip(
+                    self.phase_column_logs,
+                    self.phase_roots,
+                    proof.decommitments,
+                )
+            ):
+                roots_d = dict(roots)
+                for cl in sorted(set(logs), reverse=True):
+                    cols_here = [i for i, l in enumerate(logs) if l == cl]
+                    pairs = fri.pair_positions(queries, max_log, cl)
+                    dec = decs.get(cl) if isinstance(decs, dict) else None
+                    if dec is None:
+                        return False
+                    if not merkle.verify_decommitment(
+                        roots_d[cl], cl, len(cols_here), pairs, dec
+                    ):
+                        return False
+                    for j, col_idx in enumerate(cols_here):
+                        opened[(phase_idx, col_idx)] = dec.values[j]
         # compute quotient values at pair positions per log size
         col_values = {}
         for l, batches in grouped.items():

@@ -33,20 +33,20 @@ class VerificationError(Exception):
 
 
 @lru_cache(maxsize=4)
-def _expected_preprocessed_roots(blowup: int, scale_key=None):
+def _expected_preprocessed_roots(blowup: int, scale_key=None, framing="native"):
     """Recompute the deterministic preprocessed commitment (scale_key keys
     the cache on the active ProtocolScale)."""
     relations = Relations()
     comps = ComponentSet(relations)
     pre_cols, _ = comps.preprocessed_columns()
     phase = pcs.CommitmentPhase(
-        [(l, _fftify(c, l)) for l, c in pre_cols], blowup
+        [(l, _fftify(c, l)) for l, c in pre_cols], blowup, framing=framing
     )
     return phase.roots()
 
 
 def verify_cairo_m(proof: Proof, config=REGULAR_96_BITS) -> bool:
-    channel = Blake2sChannel()
+    channel = config.make_channel()
     config.mix_into(channel)
     proof.public_data.mix_into(channel)
 
@@ -66,7 +66,7 @@ def verify_cairo_m(proof: Proof, config=REGULAR_96_BITS) -> bool:
     from .config import SCALE
 
     expected = _expected_preprocessed_roots(
-        config.fri_config.log_blowup_factor, SCALE.key()
+        config.fri_config.log_blowup_factor, SCALE.key(), config.framing
     )
     if proof.pcs_proof.phase_roots[0] != expected:
         raise VerificationError("preprocessed commitment mismatch")
