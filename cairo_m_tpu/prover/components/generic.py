@@ -402,6 +402,16 @@ class RangeCheckComponent(Component):
         self.trace_rows = [multiplicities.astype(np.uint32)]
         return self
 
+    def write_trace_device(self, dev_col, touched: bool):
+        """Multiplicity column from the device histogram
+        (framework.TableCounter); ``touched=False`` marks a provably
+        all-zero table (no counted component consumes the relation)."""
+        self.non_padded_length = 1 << self.bits
+        self.zero_witness = not touched
+        self.trace_rows = None
+        self.device_stack = None if not touched else dev_col[None, :]
+        return self
+
     def evaluate(self, ev):
         value = ev.next_preprocessed_mask()
         mult = ev.next_trace_mask()
@@ -462,6 +472,14 @@ class BitwiseComponent(Component):
         self.non_padded_length = min(3 << 16, 1 << self.log_size)
         self.zero_witness = not multiplicities.any()
         self.trace_rows = [multiplicities.astype(np.uint32)]
+        return self
+
+    def write_trace_device(self, dev_col, touched: bool):
+        """See RangeCheckComponent.write_trace_device."""
+        self.non_padded_length = min(3 << 16, 1 << self.log_size)
+        self.zero_witness = not touched
+        self.trace_rows = None
+        self.device_stack = None if not touched else dev_col[None, :]
         return self
 
     def evaluate(self, ev):

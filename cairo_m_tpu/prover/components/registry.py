@@ -98,13 +98,18 @@ class ComponentSet:
 
     # -- witness generation --
 
-    def write_traces(self, prover_input, on_component=None):
+    def write_traces(self, prover_input, on_component=None, table_counter=None):
         """Generate all witness traces.  ``on_component(comp)`` fires as soon
         as a component's rows exist — the prover uses it to start that
         component's (async) H2D upload while later components' witnesses are
         still being generated on host, overlapping the accelerator-tunnel
         transfer with host work.  The four table components fire last (their
-        multiplicity columns need every other component's entries)."""
+        multiplicity columns need every other component's entries).
+
+        ``table_counter`` (framework.TableCounter, single-device path):
+        multiplicity histograms run as device scatter-adds over the uploaded
+        stacks — the caller's ``on_component`` feeds the counter — and the
+        host entry re-derivation below is skipped entirely."""
         non_table = [
             self.memory, self.merkle, self.clock_update, self.poseidon2,
         ] + self.opcodes
@@ -112,6 +117,17 @@ class ComponentSet:
             comp.write_trace(prover_input)
             if on_component is not None:
                 on_component(comp)
+        if table_counter is not None:
+            cols, touched = table_counter.finalize()
+            tables = (
+                self.range_check_8, self.range_check_16,
+                self.range_check_20, self.bitwise,
+            )
+            for comp, col, t in zip(tables, cols, touched):
+                comp.write_trace_device(col, t)
+                if on_component is not None:
+                    on_component(comp)
+            return
         # count range-check / bitwise consumptions generically.  Only
         # components whose relation entries actually touch a table relation
         # need the (expensive) host entry re-derivation — the generic five

@@ -180,21 +180,42 @@ def prove_cairo_m(prover_input, config=REGULAR_96_BITS, timing=None):
     # Witness generation pipelined with upload: each component's packed
     # planes (stark/colpack.py) start their async H2D transfer the moment
     # its rows exist, so the ~25 MB/s tunnel moves data while the host is
-    # still generating later components' witnesses and the table
-    # multiplicity histograms.  Zero-witness components upload nothing
-    # (their stacks are device-side zero fills below).
+    # still generating later components' witnesses.  Zero-witness
+    # components upload nothing (their stacks are device-side zero fills
+    # below).  Single-device proves also move the range-check/bitwise
+    # multiplicity histograms to device scatter-adds over the uploaded
+    # stacks (framework.TableCounter) — the host entry re-derivation was a
+    # serial trace-phase cost; the sharded path keeps host histograms.
+    from ..parallel.sharded import active_mesh as _active_mesh
     from ..parallel.sharded import maybe_shard
+    from .config import SCALE as _SCALE
     from .stark import colpack
 
+    counter = (
+        None
+        if _active_mesh() is not None
+        else framework.TableCounter(relations, *_SCALE.key())
+    )
     uploaded = {}
 
     def _upload(comp):
-        if not comp.zero_witness:
-            uploaded[id(comp)] = maybe_shard(
-                colpack.upload_stack(comp.trace_rows, comp.non_padded_length)
-            )
+        dev = getattr(comp, "device_stack", None)
+        if comp.trace_rows is None:
+            if dev is not None:
+                uploaded[id(comp)] = dev
+            return
+        if comp.zero_witness:
+            return
+        st = maybe_shard(
+            colpack.upload_stack(comp.trace_rows, comp.non_padded_length)
+        )
+        uploaded[id(comp)] = st
+        if counter is not None:
+            counter.add(comp, st)
 
-    comps.write_traces(prover_input, on_component=_upload)
+    comps.write_traces(
+        prover_input, on_component=_upload, table_counter=counter
+    )
     _dbg(t0, "write_traces (host, uploads pipelined)")
 
     scheme = pcs.CommitmentSchemeProver(channel, config)

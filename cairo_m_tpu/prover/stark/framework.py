@@ -321,6 +321,164 @@ def gen_interaction_trace_device(comp, trace_stack, pre_stack):
 
 
 # ---------------------------------------------------------------------------
+# Device-side table multiplicity counting
+# ---------------------------------------------------------------------------
+# The rayon-atomics role of the reference's range-check/bitwise counting
+# (`preprocessed/range_check/range_check_macro.rs:72-84`) mapped to TPU as
+# one-hot scatter-adds (SURVEY.md §2.10): every component's table-relation
+# entries are extracted by a wide-tape plan from its already-uploaded trace
+# stack and histogrammed into device accumulators, replacing the host
+# re-derivation + np.add.at pass that serialized the trace phase.
+
+_TCOUNT_TABLES = ("RangeCheck8", "RangeCheck16", "RangeCheck20", "Bitwise")
+
+
+def table_count_plan(comp, relations):
+    """Cached wide plan extracting, per table-relation entry of ``comp``:
+    the multiplicity (limb 0), then the index values (1 for range checks,
+    op/in1/in2 for bitwise).  -> (plan, meta) with meta the table name per
+    entry in output order (empty if the component consumes no table)."""
+    from ...prover.config import SCALE
+
+    key = ("tcount", comp.name, comp.log_size, SCALE.key(),
+           getattr(comp, "plan_key_extra", ""))
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    meta_box = []
+
+    def build(rec, ops):
+        def tg(idx, offset):
+            return Val(rec.bank_src("t", idx, offset), False, ops)
+
+        def pg(idx, offset):
+            return Val(rec.bank_src("p", idx, offset), False, ops)
+
+        def ig(idx, offset):  # pragma: no cover - collect_only skips finalize
+            raise AssertionError("interaction columns unavailable while recording")
+
+        shift = Val(ops.econst((0, 0, 0, 0)), True, ops)
+        ev = EvalAtRow(ops, tg, ig, shift, pg)
+        ev.collect_only = True
+        comp.evaluate(ev)
+        outs, meta = [], []
+        for e in ev.relation_entries:
+            nm = e.relation.name
+            if nm not in _TCOUNT_TABLES:
+                continue
+            outs.append(e.multiplicity.as_ext().v[0])
+            n_vals = 3 if nm == "Bitwise" else 1
+            for v in e.values[:n_vals]:
+                outs.append(v.v if not v.ext else v.v[0])
+            meta.append(nm)
+        meta_box.append(tuple(meta))
+        return outs
+
+    if not _touches_tables(comp):
+        result = (None, ())
+    else:
+        # plain recording — no relation z/alpha dyn consts: entries are
+        # collected raw (no combine), so the plan has no per-proof
+        # constants and can run before relations.draw
+        rec = WideRecorder()
+        ops = WideOps(rec)
+        outs = build(rec, ops)
+        plan = schedule_wide(rec, outs, width=_WIDE_W)
+        result = (plan, meta_box[0])
+    _PLAN_CACHE[key] = result
+    return result
+
+
+def _touches_tables(comp) -> bool:
+    from ..components.registry import _touched_relations
+
+    return bool(_touched_relations(comp) & set(_TCOUNT_TABLES))
+
+
+@_lru_cache(maxsize=None)
+def _tcount_kernel(meta, table_logs):
+    """jit: (outs (n_out, n), accs in _TCOUNT_TABLES order) -> new accs.
+
+    Weights are the consumptions ``-mult`` (padding rows have mult 0 and
+    contribute 0); out-of-range index values (possible only on zero-weight
+    padding rows) are dropped by the scatter."""
+    import jax as _jax
+
+    def f(outs, accs):
+        new = list(accs)
+        per = {nm: ([], []) for nm in _TCOUNT_TABLES}
+        off = 0
+        for nm in meta:
+            w = m31.sub(jnp.zeros_like(outs[off]), outs[off])
+            if nm == "Bitwise":
+                idx = (
+                    (outs[off + 1] << jnp.uint32(16))
+                    + (outs[off + 2] << jnp.uint32(8))
+                    + outs[off + 3]
+                )
+                off += 4
+            else:
+                idx = outs[off + 1]
+                off += 2
+            per[nm][0].append(idx)
+            per[nm][1].append(w)
+        for ti, nm in enumerate(_TCOUNT_TABLES):
+            idxs, ws = per[nm]
+            if not idxs:
+                continue
+            idx = jnp.concatenate(idxs).astype(jnp.int32)
+            w = jnp.concatenate(ws)
+            new[ti] = new[ti].at[idx].add(w, mode="drop")
+        return tuple(new)
+
+    return _jax.jit(f)
+
+
+class TableCounter:
+    """Device accumulators for the four preprocessed tables' multiplicity
+    columns.  Raw uint32 adds (no mod): total consumptions per proof are
+    bounded by the segment cap (2^20−1 steps) times entries per row, far
+    below 2^31.  Single-device path — the GSPMD-sharded prover keeps the
+    host histograms (scatter-add across shards would reshard the tables)."""
+
+    def __init__(self, relations, rc_big_bits: int, bitwise_log: int):
+        self.relations = relations
+        self._logs = (8, 16, rc_big_bits, bitwise_log)
+        self.acc = tuple(
+            jnp.zeros(1 << b, jnp.uint32) for b in self._logs
+        )
+        self.touched = [False] * 4
+
+    def add(self, comp, trace_stack):
+        """Fold one non-zero-witness component's table consumptions in."""
+        plan, meta = table_count_plan(comp, self.relations)
+        if not meta:
+            return
+        for nm in set(meta):
+            self.touched[_TCOUNT_TABLES.index(nm)] = True
+        n = 1 << comp.log_size
+        assert not comp.n_preprocessed_cols, comp.name
+        pre_stack = jnp.zeros((0, n), jnp.uint32)
+        src = np.zeros(len(plan.used_bank), np.int32)
+        sh = np.zeros(len(plan.used_bank), np.uint32)
+        kt = int(trace_stack.shape[0])
+        for j, (kind, idx, off) in enumerate(plan.used_bank):
+            src[j] = idx if kind == "t" else kt + idx
+            sh[j] = off % n
+        consts = plan.const_values(_DynResolver(self.relations))
+        outs = run_wide(
+            (trace_stack, pre_stack), src, sh, consts, plan,
+            comp.log_size, fft_order=False,
+        )
+        self.acc = _tcount_kernel(meta, self._logs)(outs, self.acc)
+
+    def finalize(self):
+        """-> (mult column per table (device, (n,) uint32), touched flags)."""
+        return self.acc, tuple(self.touched)
+
+
+# ---------------------------------------------------------------------------
 # Composition (device, wide-tape-compiled)
 # ---------------------------------------------------------------------------
 # XLA compile time is superlinear in graph size, so per-component symbolic

@@ -9,10 +9,20 @@ the standard pass pipeline and MIR code generator.
 
 Supported subset (enough for loop/arith kernels; extend as needed):
   - types: i32 params/results (single result)
-  - sections: type, function, export, code
+  - sections: type, function, memory, export, code, data
   - ops: i32.const, i32.{add,sub,mul,div_u,rem_u,and,or,xor},
-    i32.{eq,ne,lt_u,gt_u,le_u,ge_u,eqz}, local.{get,set,tee},
-    block/loop/if/else/end, br, br_if, return, call, drop, nop, select
+    i32.{eq,ne,lt_u,gt_u,le_u,ge_u,eqz}, i32.{load,store},
+    local.{get,set,tee}, block/loop/if/else/end, br, br_if, return, call,
+    drop, nop, select
+
+Linear memory (reference `crates/wasm/src/lowering/mod.rs` lowers womir
+memory ops; here mapped Cairo-M-natively): wasm memory 0 lives at the TOP
+of the Cairo-M heap segment — u32 word ``i`` occupies the two cells at
+``MAX_ADDRESS - mem_cells + 1 + 2*i`` (a u32 is two 16-bit-limb cells).
+``i32.load/store`` must be 4-byte aligned (the compute-kernel subset);
+active data segments with i32.const offsets are materialized by a
+synthesized per-export init wrapper; untouched cells read as wasm zero
+pages (Cairo-M memory defaults to 0).
 """
 
 from __future__ import annotations
@@ -43,6 +53,8 @@ class WasmModule:
     func_type_idx: list = field(default_factory=list)
     exports: dict = field(default_factory=dict)  # name -> func index
     funcs: list = field(default_factory=list)  # of WasmFunc
+    mem_min_pages: int = 0  # memory section limits.min (64 KiB pages)
+    data_segments: list = field(default_factory=list)  # (byte offset, bytes)
 
 
 class _Reader:
@@ -119,6 +131,16 @@ def load_wasm(data: bytes) -> WasmModule:
                 idx = body.uleb()
                 if kind == 0:
                     mod.exports[name] = idx
+        elif sec == 5:  # memory
+            count = body.uleb()
+            if count > 1:
+                raise WasmError("at most one linear memory supported")
+            if count:
+                flags = body.u8()
+                mn = body.uleb()
+                if flags & 0x01:
+                    body.uleb()  # max pages (ignored; static min allocation)
+                mod.mem_min_pages = mn
         elif sec == 10:  # code
             for _ in range(body.uleb()):
                 n = body.uleb()
@@ -129,7 +151,20 @@ def load_wasm(data: bytes) -> WasmModule:
                     vt = _vt(fr)
                     locs += [vt] * count
                 bodies.append((locs, fr.d[fr.i :]))
-        # other sections (imports, memory, ...) are skipped; compute-kernel
+        elif sec == 11:  # data
+            for _ in range(body.uleb()):
+                flags = body.uleb()
+                if flags not in (0, 2):
+                    raise WasmError("passive data segments unsupported")
+                if flags == 2 and body.uleb() != 0:
+                    raise WasmError("data segment memidx must be 0")
+                if body.u8() != 0x41:  # offset expr: i32.const N; end
+                    raise WasmError("data offset must be an i32.const expr")
+                off = body.sleb()
+                if body.u8() != 0x0B:
+                    raise WasmError("data offset expr must be a single const")
+                mod.data_segments.append((off, body.bytes(body.uleb())))
+        # other sections (imports, globals, ...) are skipped; compute-kernel
         # modules in the supported subset don't carry them
     for (ti, (locs, code)) in zip(mod.func_type_idx, bodies):
         mod.funcs.append(WasmFunc(ti, locs, code))

@@ -23,8 +23,23 @@ from dataclasses import dataclass
 
 from ..compiler.mir import Block, Instr, MirFunction, Terminator, Value
 from ..compiler.mir_passes import run_pipeline
-from ..compiler.sem import BOOL, FuncSig, Type, U32, UNIT
+from ..compiler.sem import BOOL, FELT, FuncSig, Type, U32, UNIT
 from . import WasmError, WasmModule
+
+_MAX_ADDRESS = (1 << 28) - 1
+
+
+def mem_cells(mod: WasmModule) -> int:
+    """Heap cells reserved for wasm linear memory: one u32 word = two
+    16-bit-limb cells (64 KiB page = 16384 words = 32768 cells)."""
+    return mod.mem_min_pages * (65536 // 4) * 2
+
+
+def membase_cell(mod: WasmModule) -> int:
+    """First cell of wasm memory — the top `mem_cells` cells of the heap
+    segment (which grows down from MAX_ADDRESS; the wasm frontend emits no
+    `newarr`, so nothing else allocates there)."""
+    return _MAX_ADDRESS - mem_cells(mod) + 1
 
 _BIN = {
     0x6A: "+", 0x6B: "-", 0x6C: "*", 0x6E: "/", 0x70: "%",
@@ -410,7 +425,35 @@ class FnLowerer:
             a = self._widen(self.stack.pop())
             self.stack.append(self.emit("bin", U32, op=_BIN[op], args=[a, b]))
             return
+        if op in (0x28, 0x36):  # i32.load / i32.store (4-byte aligned)
+            r.uleb()  # align hint (ignored; accesses must be 4-aligned)
+            offset = r.uleb()
+            if self.mod.mem_min_pages <= 0:
+                raise WasmError("memory access but no memory section")
+            val = self._widen(self.stack.pop()) if op == 0x36 else None
+            cell = self._mem_cell(self._widen(self.stack.pop()), offset)
+            base = membase_cell(self.mod)
+            if op == 0x28:
+                self.stack.append(
+                    self.emit("load", U32, args=[cell], extra=base)
+                )
+            else:
+                self.emit("store", None, args=[cell, val], extra=base)
+            return
         raise WasmError(f"unsupported opcode 0x{op:02x}")
+
+    def _mem_cell(self, addr: Value, offset: int) -> Value:
+        """u32 byte address (+ static offset) -> felt cell offset 2*(a/4)
+        relative to membase.  Unaligned low bits truncate (the supported
+        subset requires 4-byte-aligned i32 accesses)."""
+        if offset:
+            addr = self.emit(
+                "bin", U32, op="+", args=[addr, self.const_u32(offset)]
+            )
+        word = self.emit("bin", U32, op="/", args=[addr, self.const_u32(4)])
+        idx = self.emit("cast", FELT, op="u32->felt", args=[word])
+        two = self.emit("const", FELT, extra=2)
+        return self.emit("bin", FELT, op="*", args=[idx, two])
 
 
 def _skip_immediates(r, op: int):
@@ -419,10 +462,54 @@ def _skip_immediates(r, op: int):
         r.uleb()
     elif op == 0x41:
         r.sleb()
+    elif op in (0x28, 0x36):  # memarg: align + offset
+        r.uleb()
+        r.uleb()
     elif op == 0x0E:  # br_table
         n = r.uleb()
         for _ in range(n + 1):
             r.uleb()
+
+
+def _make_init_wrapper(mod: WasmModule, name: str, inner: str, sig: FuncSig):
+    """Exported entry wrapper: materialize active data segments into linear
+    memory (one u32 store per nonzero word — untouched cells read as zero),
+    then tail-call the real function."""
+    b = Block(0)
+    nv = 0
+
+    def val(ty):
+        nonlocal nv
+        v = Value(nv, ty)
+        nv += 1
+        return v
+
+    params = []
+    for k, (pn, _) in enumerate(sig.params):
+        v = val(U32)
+        params.append((pn, v))
+    base = membase_cell(mod)
+    for seg_off, data in mod.data_segments:
+        if seg_off % 4:
+            raise WasmError("data segment offset must be 4-byte aligned")
+        padded = data + b"\x00" * (-len(data) % 4)
+        for k in range(0, len(padded), 4):
+            w = int.from_bytes(padded[k : k + 4], "little")
+            if w == 0:
+                continue
+            cell = val(FELT)
+            b.instrs.append(
+                Instr("const", cell, "", [], 2 * ((seg_off + k) // 4))
+            )
+            wv = val(U32)
+            b.instrs.append(Instr("const", wv, "", [], w))
+            b.instrs.append(Instr("store", None, "", [cell, wv], base))
+    ret = val(sig.ret) if sig.ret is not UNIT else None
+    b.instrs.append(
+        Instr("call", ret, "", [p[1] for p in params], inner)
+    )
+    b.term = Terminator("ret", args=[ret] if ret is not None else [])
+    return MirFunction(name, params, sig.ret, [b], nv)
 
 
 def lower_module(mod: WasmModule, options=None):
@@ -433,10 +520,16 @@ def lower_module(mod: WasmModule, options=None):
     from ..compiler.mir_codegen import MirFnCodegen
     from ..isa.program import AbiSlot, EntrypointInfo, Program, U32 as ABI_U32
 
+    # with data segments, exports become init wrappers (written first into
+    # memory, then tail-call the real function); internal calls keep
+    # targeting the inner functions so memory is initialized exactly once
+    has_init = bool(mod.data_segments)
     names = []
     rev_exports = {v: k for k, v in mod.exports.items()}
     for i in range(len(mod.funcs)):
-        names.append(rev_exports.get(i, f"__wf_{i}"))
+        names.append(
+            f"__wf_{i}" if has_init else rev_exports.get(i, f"__wf_{i}")
+        )
 
     sigs = {}
     for i, f in enumerate(mod.funcs):
@@ -446,6 +539,15 @@ def lower_module(mod: WasmModule, options=None):
             [(f"p{k}", U32) for k in range(len(ty.params))],
             U32 if ty.results else UNIT,
         )
+    entry_names = {}  # export name -> function label to use
+    if has_init:
+        for exp, idx in mod.exports.items():
+            inner = sigs[names[idx]]
+            sigs[exp] = FuncSig(exp, inner.params, inner.ret)
+            entry_names[exp] = exp
+    else:
+        for exp, idx in mod.exports.items():
+            entry_names[exp] = names[idx]
 
     class _TM:  # minimal TypedModule surface for MirFnCodegen
         functions = sigs
@@ -453,10 +555,18 @@ def lower_module(mod: WasmModule, options=None):
     class _MG:
         tm = _TM()
 
-    codes = []
+    units = []  # (name, PendingInstr list)
     for i in range(len(mod.funcs)):
         mfn = run_pipeline(FnLowerer(mod, i, names).lower())
-        codes.append(MirFnCodegen(_MG(), mfn, sigs[names[i]]).compile())
+        units.append(
+            (names[i], MirFnCodegen(_MG(), mfn, sigs[names[i]]).compile())
+        )
+    if has_init:
+        for exp, idx in mod.exports.items():
+            mfn = run_pipeline(
+                _make_init_wrapper(mod, exp, names[idx], sigs[exp])
+            )
+            units.append((exp, MirFnCodegen(_MG(), mfn, sigs[exp]).compile()))
 
     # assemble: reuse ModuleCompiler's two-pass label resolution by
     # mimicking its structure directly (no AST module exists here)
@@ -465,8 +575,8 @@ def lower_module(mod: WasmModule, options=None):
     all_instrs = []
     fn_starts = {}
     pos = 0
-    for i, code in enumerate(codes):
-        fn_starts[pos] = names[i]
+    for fname, code in units:
+        fn_starts[pos] = fname
         all_instrs.extend(code)
         pos += len(code)
     label_cells = {}
@@ -501,7 +611,7 @@ def lower_module(mod: WasmModule, options=None):
     for name, idx in mod.exports.items():
         sig = sigs[names[idx]]
         eps[name] = EntrypointInfo(
-            pc=label_cells[f"__fn_{names[idx]}"],
+            pc=label_cells[f"__fn_{entry_names[name]}"],
             params=[AbiSlot(n, ABI_U32) for n, _ in sig.params],
             returns=(
                 [] if sig.ret.kind == "unit" else [AbiSlot("return", ABI_U32)]

@@ -88,6 +88,33 @@ def test_maybe_shard_places_on_mesh():
     assert maybe_shard(x) is x  # no-op outside the context
 
 
+@pytest.mark.slow
+def test_sharded_production_scale_100k_bitexact():
+    """VERDICT r4 next #4: a >=100k-cycle trace proved at the PRODUCTION
+    protocol scale (rc20 = 2^20, bitwise 2^18 — the real commit floor)
+    under the 8-device mesh, byte-identical to single-device.  The reduced
+    query count only shrinks the query phase; every committed column, FFT,
+    Merkle tree and LogUp sum runs at full production shape."""
+    from cairo_m_tpu.prover.adapter.native_import import native_prover_input
+
+    set_production_scale()
+    try:
+        program = compile_cairo(FIB).program
+        pi = native_prover_input(program, "main", [13000])  # 104,010 cycles
+        assert pi.total_steps >= 100_000
+        cfg = test_config(n_queries=8, pow_bits=2)
+        mesh = make_row_mesh(8)
+        with prover_mesh(mesh):
+            sharded = prove_cairo_m(pi, cfg)
+        assert verify_cairo_m(sharded, cfg)
+        single = prove_cairo_m(pi, cfg)
+        assert json.dumps(sharded.to_json_obj(), sort_keys=True) == json.dumps(
+            single.to_json_obj(), sort_keys=True
+        )
+    finally:
+        set_test_scale(rc_big_bits=10, bitwise_log=8)
+
+
 def test_psum_mod_matches_host():
     mesh = make_mesh(8)
     rng = np.random.default_rng(5)
