@@ -197,6 +197,7 @@ def prove_cairo_m(prover_input, config=REGULAR_96_BITS, timing=None):
         else framework.TableCounter(relations, *_SCALE.key())
     )
     uploaded = {}
+    _wt = {"pack": 0.0, "count": 0.0}
 
     def _upload(comp):
         dev = getattr(comp, "device_stack", None)
@@ -206,17 +207,22 @@ def prove_cairo_m(prover_input, config=REGULAR_96_BITS, timing=None):
             return
         if comp.zero_witness:
             return
+        tu = time.time()
         st = maybe_shard(
             colpack.upload_stack(comp.trace_rows, comp.non_padded_length)
         )
+        _wt["pack"] += time.time() - tu
         uploaded[id(comp)] = st
         if counter is not None:
+            tu = time.time()
             counter.add(comp, st)
+            _wt["count"] += time.time() - tu
 
     comps.write_traces(
         prover_input, on_component=_upload, table_counter=counter
     )
-    _dbg(t0, "write_traces (host, uploads pipelined)")
+    _dbg(t0, f"write_traces (host, uploads pipelined; pack "
+             f"{_wt['pack']:.2f}s count {_wt['count']:.2f}s)")
 
     scheme = pcs.CommitmentSchemeProver(channel, config)
 

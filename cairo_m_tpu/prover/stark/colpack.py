@@ -101,7 +101,17 @@ def classify(rows, m: int):
         # small nonnegative offset below a reference row (prev-clocks)
         if pad_zero and refs:
             found = False
+            probe = min(m, 4096)  # cheap prefix probe: full-row candidate
+            # checks cost O(refs * m) and dominated packing on rows that
+            # fail every reference (incompressible value columns)
             for rj, rr in refs:
+                dprobe = rr[:probe].astype(np.int64) - r[:probe].astype(
+                    np.int64
+                )
+                if dprobe.size and (
+                    dprobe.min() < 0 or dprobe.max() >= 65536
+                ):
+                    continue
                 diff = rr[:m].astype(np.int64) - r[:m].astype(np.int64)
                 if diff.size and diff.min() >= 0 and diff.max() < 65536:
                     dmx = int(diff.max())

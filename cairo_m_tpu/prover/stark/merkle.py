@@ -229,12 +229,29 @@ class DecommitPlan:
         self.positions = sorted(set(int(p) for p in positions))
         self.n_cols = int(tree.columns.shape[0])
         host_tree = not tree.levels
+        # CRITICAL for warm throughput: every device gather below is padded
+        # to a power-of-two count (repeating the last index — harmless
+        # duplicates are sliced off in finish()).  The opened positions are
+        # query-derived, so their raw counts differ on EVERY proof; unpadded
+        # gathers made each prove recompile its eager take/concat
+        # executables, which dominated decommit (~4-10 s per 1M-cycle
+        # segment vs 0.3 s warm).
+        def _pad_pow2(idx: list) -> np.ndarray:
+            k = max(1, len(idx))
+            kp = 1 << (k - 1).bit_length()
+            return np.asarray(idx + [idx[-1]] * (kp - k), np.int32)
+
         pos_np = np.array(self.positions, np.int32)
         if host_tree:
             parts_np = [np.take(tree.columns, pos_np, axis=1).reshape(-1)]
         else:
-            pos_arr = jnp.asarray(pos_np)
-            parts = [jnp.take(tree.columns, pos_arr, axis=1).reshape(-1)]
+            pos_pad = _pad_pow2(list(self.positions))
+            self._pos_pad = int(pos_pad.shape[0])
+            parts = [
+                jnp.take(
+                    tree.columns, jnp.asarray(pos_pad), axis=1
+                ).reshape(-1)
+            ]
         # one gather over the packed device pyramid instead of one per level
         # (tunnel dispatch latency makes per-level takes the decommit cost).
         # `packed` stays local: every tree is decommitted exactly once per
@@ -271,11 +288,14 @@ class DecommitPlan:
                     self.host_siblings.append(hl[s].astype("<u4").tobytes())
             cur = parents
         if not host_tree:
+            self._sib_pad = 0
             if sib_idx:
+                sib_pad = _pad_pow2(sib_idx)
+                self._sib_pad = int(sib_pad.shape[0])
                 parts.append(
                     jnp.take(
-                        packed, jnp.asarray(np.array(sib_idx, np.int32)), axis=1
-                    ).T.reshape(-1)  # (S, 8) word-major per digest
+                        packed, jnp.asarray(sib_pad), axis=1
+                    ).T.reshape(-1)  # (S_pad, 8) word-major per digest
                 )
             self.flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
             self.host_flat = None
@@ -288,12 +308,13 @@ class DecommitPlan:
 
     def finish(self, host_flat: np.ndarray) -> MerkleDecommitment:
         P_ = len(self.positions)
-        opened = host_flat[: self.n_cols * P_].reshape(self.n_cols, P_)
+        P_pad = P_ if self.host_flat is not None else self._pos_pad
+        opened = host_flat[: self.n_cols * P_pad].reshape(self.n_cols, P_pad)
         values = [
             {p: int(opened[ci, j]) for j, p in enumerate(self.positions)}
             for ci in range(self.n_cols)
         ]
-        off = self.n_cols * P_
+        off = self.n_cols * P_pad
         siblings = []
         for s in self.sib_counts:
             words = host_flat[off : off + 8 * s].reshape(s, 8)

@@ -505,8 +505,11 @@ class CommitmentSchemeProver:
                 pairs = fri.pair_positions(queries, max_log, cl)
                 plans.append(merkle.DecommitPlan(tree, pairs))
                 plan_keys.append((pi_, cl))
+        _t("decommit: phase plans")
         fri_roots, fri_plans = fri_prover.decommit_plans(queries)
+        _t("decommit: fri plans")
         decs = merkle.finish_plans(plans + fri_plans)
+        _t("decommit: pull + finish")
         decommitments = [{} for _ in self.phases]
         for (pi_, cl), dec in zip(plan_keys, decs[: len(plans)]):
             decommitments[pi_][cl] = dec

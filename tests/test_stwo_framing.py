@@ -195,15 +195,21 @@ def stwo_proof():
     return prove_cairo_m(make_static_input(), CFG)
 
 
+# the e2e group runs a full (small) proof on the CPU mesh — minutes, not
+# seconds, so it lives in the slow tier; the channel/tree unit tests above
+# stay fast
+@pytest.mark.slow
 def test_prove_verify_stwo_framing(stwo_proof):
     assert verify_cairo_m(stwo_proof, CFG)
 
 
+@pytest.mark.slow
 def test_stwo_phases_have_single_root(stwo_proof):
     for phase in stwo_proof.pcs_proof.phase_roots:
         assert len(phase) == 1  # one mixed-degree tree per phase
 
 
+@pytest.mark.slow
 def test_stwo_proof_json_roundtrip(stwo_proof):
     obj = stwo_proof.to_json_obj()
     import json
@@ -212,6 +218,7 @@ def test_stwo_proof_json_roundtrip(stwo_proof):
     assert verify_cairo_m(back, CFG)
 
 
+@pytest.mark.slow
 def test_stwo_proof_rejected_by_native_verifier(stwo_proof):
     # first divergence: the native verifier recomputes per-log_size
     # preprocessed roots, which can't match the single mixed-degree root
@@ -220,6 +227,7 @@ def test_stwo_proof_rejected_by_native_verifier(stwo_proof):
         verify_cairo_m(stwo_proof, native)
 
 
+@pytest.mark.slow
 def test_stwo_tamper_rejection(stwo_proof):
     bad = Proof.from_json_obj(stwo_proof.to_json_obj())
     q = bad.pcs_proof.decommitments[1].queried
