@@ -5,16 +5,35 @@ on a real TPU the same kernel compiles to Mosaic and is used by
 prover/stark/merkle.py for Merkle leaf hashing.
 """
 
-import os
-
-os.environ["CM_PALLAS_INTERPRET"] = "1"
-
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
 from cairo_m_tpu.hash import blake2s_pallas
 from cairo_m_tpu.hash.blake2s import hash_words_np
+from cairo_m_tpu.prover.stark import wtape_pallas
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _interpret_mode():
+    """Scope Pallas interpreter mode to THIS module only.
+
+    A previous revision set CM_PALLAS_INTERPRET=1 in os.environ at import
+    time, which leaked process-wide: `wtape_pallas` is imported lazily by
+    the first PROVE after this module ran, picked the flag up, and every
+    later prover test streamed its composition through the Pallas
+    interpreter (~minutes per kernel — the fast tier hung at
+    test_prover_static).  Flip the module flags directly and clear the
+    kernel-builder caches (they bake `interpret=` at construction)."""
+    saved = (blake2s_pallas._INTERPRET, wtape_pallas._INTERPRET)
+    blake2s_pallas._INTERPRET = True
+    wtape_pallas._INTERPRET = True
+    blake2s_pallas._leaf_call.cache_clear()
+    wtape_pallas._call.cache_clear()
+    yield
+    blake2s_pallas._INTERPRET, wtape_pallas._INTERPRET = saved
+    blake2s_pallas._leaf_call.cache_clear()
+    wtape_pallas._call.cache_clear()
 
 
 # interpret mode costs ~0.5 s per compression block of 128 lanes, so the

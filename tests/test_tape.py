@@ -218,6 +218,7 @@ def test_tape_range_check_preprocessed(comps):
     _check_component(comps.range_check_8)
 
 
+@pytest.mark.slow  # ~65 s: every fib opcode component through the tape
 def test_tape_fib_opcode_components(fib_comps):
     """Tape vs host on REAL witness rows for every component fibonacci
     exercises (nonzero traces — catches bank/column index bugs that all-zero
