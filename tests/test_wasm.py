@@ -284,7 +284,8 @@ def test_memory_module_proves():
     try:
         w = _mem_rw_module()
         out = compile_wasm(w)
-        pi = native_prover_input(out.program, "memrw", [3, 999])
+        # call-slot encoding: u32 args are two 16-bit limbs each
+        pi = native_prover_input(out.program, "memrw", [3, 0, 999, 0])
         cfg = test_config(n_queries=8, pow_bits=2)
         proof = prove_cairo_m(pi, cfg)
         assert verify_cairo_m(proof, cfg)
