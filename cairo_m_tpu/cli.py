@@ -80,12 +80,19 @@ def cmd_prove(args):
     import jax
 
     from .prover.adapter.adapter import import_from_runner_output
-    from .prover.config import REGULAR_96_BITS
+    from .prover.config import REGULAR_96_BITS, STWO_FRAMING_96_BITS
     from .prover.prove import prove_cairo_m
     from .prover.verify import verify_cairo_m
     from .vm.runner import RunnerOptions, run_cairo_program
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    # --framing stwo: stwo channel byte framing + mixed-degree single-tree
+    # commitments (PROTOCOL.md §2.2-2.3 parity backend)
+    cfg = (
+        STWO_FRAMING_96_BITS
+        if getattr(args, "framing", "native") == "stwo"
+        else REGULAR_96_BITS
+    )
     program = _load_program(args.program)
     if getattr(args, "from_trace", None):
         # prove from exported binary trace files (run --trace-output);
@@ -123,7 +130,7 @@ def cmd_prove(args):
     for seg in res.vm.segments:
         pi = import_from_runner_output(seg, res.public_address_ranges)
         timing = {}
-        proof = prove_cairo_m(pi, REGULAR_96_BITS, timing=timing)
+        proof = prove_cairo_m(pi, cfg, timing=timing)
         n_rows = sum(1 << l for l in proof.log_sizes)
         print(
             f"segment: {len(seg.trace) - 1} steps, {n_rows} trace rows, "
@@ -134,13 +141,13 @@ def cmd_prove(args):
         proofs.append(proof.to_json_obj())
     if args.output:
         with open(args.output, "w") as f:
-            json.dump({"segments": proofs}, f)
+            json.dump({"segments": proofs, "framing": cfg.framing}, f)
         print(f"proof written to {args.output}")
     if args.verify:
         from .prover.prove import Proof
 
         for i, p in enumerate(proofs):
-            ok = verify_cairo_m(Proof.from_json_obj(p), REGULAR_96_BITS)
+            ok = verify_cairo_m(Proof.from_json_obj(p), cfg)
             print(f"segment {i}: verified={ok}")
     for v in res.return_values:
         print("return:", v.flatten())
@@ -215,18 +222,23 @@ def cmd_build(args):
 
 
 def cmd_verify(args):
-    from .prover.config import REGULAR_96_BITS
+    from .prover.config import REGULAR_96_BITS, STWO_FRAMING_96_BITS
     from .prover.prove import Proof
     from .prover.verify import VerificationError, verify_cairo_m
 
     with open(args.proof) as f:
         obj = json.load(f)
     segs = obj["segments"] if "segments" in obj else [obj]
+    cfg = (
+        STWO_FRAMING_96_BITS
+        if obj.get("framing") == "stwo"
+        else REGULAR_96_BITS
+    )
     prev_final_root = None
     for i, p in enumerate(segs):
         proof = Proof.from_json_obj(p)
         try:
-            verify_cairo_m(proof, REGULAR_96_BITS)
+            verify_cairo_m(proof, cfg)
         except VerificationError as e:
             print(f"segment {i}: INVALID ({e})")
             return 1
@@ -265,6 +277,11 @@ def main(argv=None):
     p.add_argument("--max-steps", type=int, default=(1 << 20) - 1)
     p.add_argument("--output", "-o")
     p.add_argument("--verify", action="store_true")
+    p.add_argument(
+        "--framing", default="native", choices=["native", "stwo"],
+        help="commitment/channel framing: native grouped trees (TPU fast "
+        "path) or the stwo parity backend (PROTOCOL.md §3)",
+    )
     p.add_argument(
         "--from-trace",
         help="prove from binary trace files written by `run --trace-output` "
